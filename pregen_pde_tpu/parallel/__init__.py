@@ -1,0 +1,8 @@
+from pregen_pde_tpu.parallel.meshes import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]

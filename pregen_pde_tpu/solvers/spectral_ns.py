@@ -1,0 +1,212 @@
+"""Pseudo-spectral 2-D incompressible Navier-Stokes in vorticity form.
+
+The TPU-native replacement for the reference's OpenFOAM `icoFoam` layer
+(`dataset_gen/NS_datasets/FPO_cylinder/Regular/main.py:129-151` invokes the
+external FVM solver per trajectory on CPU). Here a whole batch of trajectories
+integrates in one ``jit``/``vmap`` program: state lives in Fourier space
+(complex, (n, n//2+1) rfft2 layout), FFTs hit XLA's native TPU FFT, and every
+elementwise stage fuses.
+
+Equations (periodic [0,L)^2):
+
+    dω/dt + u·∇ω = ν Δω + f − μ ω,    u = (∂y ψ, −∂x ψ),   −Δψ = ω
+
+Time stepping: IMEX — Crank-Nicolson for the stiff viscous term, explicit
+Heun (RK2) or Euler for advection + forcing, 2/3-rule dealiasing on the
+nonlinear term (BASELINE.json north-star scheme).
+
+Numerics discipline: dtype-polymorphic; tests run float64 on CPU against an
+independent numpy oracle, production runs float32 (complex64) on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pregen_pde_tpu.core.config import NSVorticityConfig
+from pregen_pde_tpu.core.grid import SpectralGrid2D
+
+
+def fno_forcing(grid: SpectralGrid2D, amplitude: float = 0.1) -> np.ndarray:
+    """f(x,y) = A (sin(2π(x+y)) + cos(2π(x+y))) — the classic FNO-dataset forcing."""
+    x, y = grid.x[0], grid.x[1]
+    s = 2.0 * np.pi * (x + y) / grid.length
+    return amplitude * (np.sin(s) + np.cos(s))
+
+
+def kolmogorov_forcing(
+    grid: SpectralGrid2D, wavenumber: int = 4, amplitude: float = 1.0
+) -> np.ndarray:
+    """Vorticity-form Kolmogorov forcing: curl of A sin(k y) x̂ → −A k cos(k y)."""
+    y = grid.x[1]
+    k = 2.0 * np.pi * wavenumber / grid.length
+    return -amplitude * k * np.cos(k * y)
+
+
+def make_forcing(cfg: NSVorticityConfig, grid: SpectralGrid2D) -> np.ndarray | None:
+    if cfg.forcing == "none":
+        return None
+    if cfg.forcing == "fno":
+        return fno_forcing(grid, cfg.forcing_amplitude)
+    if cfg.forcing == "kolmogorov":
+        return kolmogorov_forcing(grid, cfg.forcing_wavenumber, cfg.forcing_amplitude)
+    raise ValueError(f"unknown forcing {cfg.forcing!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class NSVorticitySolver:
+    """Functional solver: all methods are pure, jit/vmap-safe.
+
+    State convention: ``w_hat`` complex array, shape ``grid.rfft_shape``.
+    """
+
+    cfg: NSVorticityConfig
+
+    @property
+    def grid(self) -> SpectralGrid2D:
+        return SpectralGrid2D(self.cfg.resolution, self.cfg.length)
+
+    # -- spectral operators --------------------------------------------------
+
+    def velocity_hat(self, w_hat: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """(û, v̂) from vorticity via streamfunction: ψ̂ = ŵ/|k|²,
+        u = ∂y ψ, v = −∂x ψ."""
+        g = self.grid
+        psi_hat = w_hat * g.inv_k2
+        u_hat = 1j * g.ky_deriv * psi_hat
+        v_hat = -1j * g.kx_deriv * psi_hat
+        return u_hat, v_hat
+
+    def velocity(self, w_hat: jax.Array) -> tuple[jax.Array, jax.Array]:
+        n = self.grid.n
+        u_hat, v_hat = self.velocity_hat(w_hat)
+        return jnp.fft.irfft2(u_hat, s=(n, n)), jnp.fft.irfft2(v_hat, s=(n, n))
+
+    def pressure(self, w_hat: jax.Array) -> jax.Array:
+        """Pressure from the Poisson equation Δp = −∇·(u·∇u) = 2(u_x v_y − u_y v_x).
+
+        The reference's OpenFOAM output includes p as a channel
+        (`Regular/main.py:883-890`); here p is diagnosed spectrally."""
+        g = self.grid
+        n = g.n
+        u_hat, v_hat = self.velocity_hat(w_hat)
+        ux = jnp.fft.irfft2(1j * g.kx_deriv * u_hat, s=(n, n))
+        uy = jnp.fft.irfft2(1j * g.ky_deriv * u_hat, s=(n, n))
+        vx = jnp.fft.irfft2(1j * g.kx_deriv * v_hat, s=(n, n))
+        vy = jnp.fft.irfft2(1j * g.ky_deriv * v_hat, s=(n, n))
+        rhs = 2.0 * (ux * vy - uy * vx)
+        rhs_hat = jnp.fft.rfft2(rhs)
+        # Δp = rhs → (−|k|²) p̂ = rhŝ → p̂ = −rhŝ/|k|²
+        p_hat = -rhs_hat * g.inv_k2
+        return jnp.fft.irfft2(p_hat, s=(n, n))
+
+    def _nonlinear_hat(self, w_hat: jax.Array) -> jax.Array:
+        """Dealiased −(u·∇ω)^ in Fourier space."""
+        g = self.grid
+        n = g.n
+        u_hat, v_hat = self.velocity_hat(w_hat)
+        u = jnp.fft.irfft2(u_hat, s=(n, n))
+        v = jnp.fft.irfft2(v_hat, s=(n, n))
+        wx = jnp.fft.irfft2(1j * g.kx_deriv * w_hat, s=(n, n))
+        wy = jnp.fft.irfft2(1j * g.ky_deriv * w_hat, s=(n, n))
+        adv_hat = jnp.fft.rfft2(u * wx + v * wy)
+        if self.cfg.dealias:
+            adv_hat = adv_hat * g.dealias_mask
+        return -adv_hat
+
+    def rhs_explicit(self, w_hat: jax.Array, f_hat: jax.Array | None) -> jax.Array:
+        """Everything except viscosity: advection + forcing − drag."""
+        out = self._nonlinear_hat(w_hat)
+        if f_hat is not None:
+            out = out + f_hat
+        if self.cfg.drag != 0.0:
+            out = out - self.cfg.drag * w_hat
+        return out
+
+    # -- time steppers ---------------------------------------------------------
+
+    def step_cn_euler(self, w_hat, dt, f_hat, visc_num, visc_den):
+        """CN diffusion + forward-Euler advection (1st order, oracle-simple)."""
+        return (w_hat * visc_num + dt * self.rhs_explicit(w_hat, f_hat)) * visc_den
+
+    def step_cn_heun(self, w_hat, dt, f_hat, visc_num, visc_den):
+        """CN diffusion + Heun (RK2) advection — default production stepper."""
+        n1 = self.rhs_explicit(w_hat, f_hat)
+        w_pred = (w_hat * visc_num + dt * n1) * visc_den
+        n2 = self.rhs_explicit(w_pred, f_hat)
+        return (w_hat * visc_num + 0.5 * dt * (n1 + n2)) * visc_den
+
+    def _visc_factors(self, dt: float, real_dtype) -> tuple[jax.Array, jax.Array]:
+        nu_k2 = self.cfg.viscosity * self.grid.k2
+        num = jnp.asarray(1.0 - 0.5 * dt * nu_k2, dtype=real_dtype)
+        den = jnp.asarray(1.0 / (1.0 + 0.5 * dt * nu_k2), dtype=real_dtype)
+        return num, den
+
+    # -- trajectory API ----------------------------------------------------------
+
+    def make_trajectory_fn(self, method: str = "cn_heun"):
+        """Returns jit-able ``traj(w0) -> w_snapshots`` of shape
+        (n_snapshots[+1], n, n) in physical space.
+
+        Snapshot thinning ≡ the reference's controlDict rewrite to exactly 20
+        writes (`Regular/main.py:1002-1047`), expressed as `lax.scan` over
+        snapshot intervals with an inner `fori_loop` of solver steps.
+        """
+        cfg = self.cfg
+        grid = self.grid
+        n = grid.n
+        total_steps = int(round(cfg.t_end / cfg.dt))
+        inner = max(total_steps // cfg.n_snapshots, 1)
+        stepper = {"cn_heun": self.step_cn_heun, "cn_euler": self.step_cn_euler}[method]
+
+        def traj(w0: jax.Array) -> jax.Array:
+            real_dtype = w0.dtype
+            dt = jnp.asarray(cfg.dt, dtype=real_dtype)
+            visc_num, visc_den = self._visc_factors(cfg.dt, real_dtype)
+            forcing = make_forcing(cfg, grid)
+            f_hat = (
+                None
+                if forcing is None
+                else jnp.fft.rfft2(jnp.asarray(forcing, dtype=real_dtype))
+            )
+            w_hat0 = jnp.fft.rfft2(w0)
+
+            def snapshot_body(w_hat, _):
+                def one(i, wh):
+                    return stepper(wh, dt, f_hat, visc_num, visc_den)
+
+                w_hat = jax.lax.fori_loop(0, inner, one, w_hat)
+                return w_hat, jnp.fft.irfft2(w_hat, s=(n, n))
+
+            _, snaps = jax.lax.scan(snapshot_body, w_hat0, None, length=cfg.n_snapshots)
+            if cfg.include_initial:
+                snaps = jnp.concatenate([w0[None], snaps], axis=0)
+            return snaps
+
+        return traj
+
+    def make_batched_trajectory_fn(self, method: str = "cn_heun"):
+        """vmap over a leading batch of initial vorticities: (B,n,n) → (B,T,n,n)."""
+        return jax.vmap(self.make_trajectory_fn(method))
+
+    # -- diagnostics -------------------------------------------------------------
+
+    def fields_from_vorticity(self, w: jax.Array) -> dict[str, jax.Array]:
+        """Physical-space (u, v, p) from physical vorticity — the contract channels."""
+        w_hat = jnp.fft.rfft2(w)
+        u, v = self.velocity(w_hat)
+        p = self.pressure(w_hat)
+        return {"u": u, "v": v, "p": p, "w": w}
+
+
+def cfl_dt(solver: NSVorticitySolver, w0: jax.Array, safety: float = 0.5) -> float:
+    """Advisory CFL bound (host-side helper; not used inside jit)."""
+    u, v = solver.velocity(jnp.fft.rfft2(w0))
+    umax = float(jnp.max(jnp.sqrt(u**2 + v**2)))
+    dx = solver.cfg.length / solver.cfg.resolution
+    return safety * dx / max(umax, 1e-12)

@@ -48,6 +48,13 @@ def kolmogorov_forcing(
     return -amplitude * k * np.cos(k * y)
 
 
+def _real_dtype(x: jax.Array):
+    """float dtype matching a complex (or real) array's precision."""
+    return jnp.finfo(x.dtype).dtype if jnp.issubdtype(x.dtype, jnp.floating) else (
+        jnp.float32 if x.dtype == jnp.complex64 else jnp.float64
+    )
+
+
 def make_forcing(cfg: NSVorticityConfig, grid: SpectralGrid2D) -> np.ndarray | None:
     if cfg.forcing == "none":
         return None
@@ -73,13 +80,20 @@ class NSVorticitySolver:
 
     # -- spectral operators --------------------------------------------------
 
+    def _consts(self, real_dtype):
+        """Grid constants cast to the working precision (keeps complex64 state
+        complex64 — numpy f64 constants would silently promote to complex128)."""
+        g = self.grid
+        c = lambda a: jnp.asarray(a, dtype=real_dtype)
+        return c(g.kx_deriv), c(g.ky_deriv), c(g.inv_k2), c(g.dealias_mask)
+
     def velocity_hat(self, w_hat: jax.Array) -> tuple[jax.Array, jax.Array]:
         """(û, v̂) from vorticity via streamfunction: ψ̂ = ŵ/|k|²,
         u = ∂y ψ, v = −∂x ψ."""
-        g = self.grid
-        psi_hat = w_hat * g.inv_k2
-        u_hat = 1j * g.ky_deriv * psi_hat
-        v_hat = -1j * g.kx_deriv * psi_hat
+        kx, ky, inv_k2, _ = self._consts(_real_dtype(w_hat))
+        psi_hat = w_hat * inv_k2
+        u_hat = 1j * ky * psi_hat
+        v_hat = -1j * kx * psi_hat
         return u_hat, v_hat
 
     def velocity(self, w_hat: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -109,14 +123,15 @@ class NSVorticitySolver:
         """Dealiased −(u·∇ω)^ in Fourier space."""
         g = self.grid
         n = g.n
+        kx, ky, _, dealias = self._consts(_real_dtype(w_hat))
         u_hat, v_hat = self.velocity_hat(w_hat)
         u = jnp.fft.irfft2(u_hat, s=(n, n))
         v = jnp.fft.irfft2(v_hat, s=(n, n))
-        wx = jnp.fft.irfft2(1j * g.kx_deriv * w_hat, s=(n, n))
-        wy = jnp.fft.irfft2(1j * g.ky_deriv * w_hat, s=(n, n))
+        wx = jnp.fft.irfft2(1j * kx * w_hat, s=(n, n))
+        wy = jnp.fft.irfft2(1j * ky * w_hat, s=(n, n))
         adv_hat = jnp.fft.rfft2(u * wx + v * wy)
         if self.cfg.dealias:
-            adv_hat = adv_hat * g.dealias_mask
+            adv_hat = adv_hat * dealias
         return -adv_hat
 
     def rhs_explicit(self, w_hat: jax.Array, f_hat: jax.Array | None) -> jax.Array:

@@ -1,0 +1,197 @@
+"""Trajectory factory: the TPU-native replacement for the reference's
+per-process OpenFOAM batch drivers (`dataset_gen/NS_datasets/*/main.py`).
+
+Where the reference copies a case template 128×, patches text files, and runs
+one `icoFoam` subprocess per trajectory on one CPU core each
+(`Regular/main.py:1048-1124`), here a whole batch integrates as ONE jitted XLA
+program: `vmap` over trajectories, batch axis sharded over the mesh `data`
+axis (`shard_map`-equivalent via NamedSharding + jit), device→host transfer
+only at snapshot boundaries.
+
+Output contract (identical to reference `reshape_trajectory_data`,
+`Regular/main.py:811-892`): float32 (N, T, H, W, 6), channels
+[Ux, Uy, p, Re_norm, mask, SDF_norm], Re_norm = (Re-100)/9900, mask 1=hole.
+
+Physics-difficulty handling: the reference integrates harder (higher-Re)
+trajectories longer (`RE_TIME_SCHEDULE`, `Regular/main.py:969-998`). Dynamic
+trip counts don't jit, so trajectories are bucketed by their quantized horizon
+(the schedule already rounds to multiples of 100 → ≤27 buckets) and each
+bucket runs as one fixed-shape program; compiled executables are cached per
+step count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pregen_pde_tpu.core.config import NSVorticityConfig
+from pregen_pde_tpu.fields.geometry import no_hole_mask, sdf_from_mask
+from pregen_pde_tpu.fields.grf import grf_2d
+from pregen_pde_tpu.parallel.meshes import batch_sharding, make_mesh
+from pregen_pde_tpu.solvers import schedules
+from pregen_pde_tpu.solvers.spectral_ns import NSVorticitySolver
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    """Difficulty-aware dataset generation settings."""
+
+    solver: NSVorticityConfig = NSVorticityConfig()
+    batch_size: int = 128  # reference batch granularity (`Regular/main.py:1054`)
+    re_mean: float = 5000.0
+    re_std: float = 2000.0
+    vary_difficulty: bool = True  # sample Re & horizons; False → cfg.viscosity/t_end
+    grf_alpha: float = 2.5
+    grf_tau: float = 7.0
+    grf_sigma: float | None = None
+
+
+def _pack_contract(
+    w_snaps: jax.Array,  # (B, T, n, n) vorticity
+    solver: NSVorticitySolver,
+    re_norm: jax.Array,  # (B,)
+    mask: jax.Array,  # (n, n) or (B, n, n)
+    sdf: jax.Array,  # same leading shape as mask
+) -> jax.Array:
+    """(B,T,n,n) vorticity → (B,T,n,n,6) [Ux,Uy,p,Re,mask,SDF] float32."""
+
+    def per_frame(w):
+        f = solver.fields_from_vorticity(w)
+        return jnp.stack([f["u"], f["v"], f["p"]], axis=-1)
+
+    uvp = jax.vmap(jax.vmap(per_frame))(w_snaps).astype(jnp.float32)
+    b, t, n, _, _ = uvp.shape
+    re_ch = jnp.broadcast_to(
+        re_norm.astype(jnp.float32)[:, None, None, None, None], (b, t, n, n, 1)
+    )
+    if mask.ndim == 2:
+        mask = jnp.broadcast_to(mask[None], (b, n, n))
+        sdf = jnp.broadcast_to(sdf[None], (b, n, n))
+    mask_ch = jnp.broadcast_to(mask.astype(jnp.float32)[:, None, :, :, None], (b, t, n, n, 1))
+    sdf_ch = jnp.broadcast_to(sdf.astype(jnp.float32)[:, None, :, :, None], (b, t, n, n, 1))
+    return jnp.concatenate([uvp, re_ch, mask_ch, sdf_ch], axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("solver", "inner_steps", "grf_alpha", "grf_tau", "grf_sigma"),
+)
+def _generate_bucket(
+    keys: jax.Array,  # (B,) PRNG keys
+    nu: jax.Array,  # (B,)
+    re_norm: jax.Array,  # (B,)
+    solver: NSVorticitySolver,
+    inner_steps: int,
+    grf_alpha: float = 2.5,
+    grf_tau: float = 7.0,
+    grf_sigma: float | None = None,
+) -> jax.Array:
+    grid = solver.grid
+    w0 = jax.vmap(
+        lambda k: grf_2d(k, grid, alpha=grf_alpha, tau=grf_tau, sigma=grf_sigma)
+    )(keys)
+    traj = solver.make_batched_trajectory_fn_nu(inner_steps=inner_steps)
+    snaps = traj(w0, nu)
+    n = grid.n
+    mask = no_hole_mask(n)
+    sdf = sdf_from_mask(mask)
+    return _pack_contract(snaps, solver, re_norm, mask, sdf)
+
+
+def generate_ns_batch(
+    key: jax.Array,
+    gen_cfg: GenerationConfig,
+    n_traj: int | None = None,
+    mesh=None,
+) -> np.ndarray:
+    """Generate one batch on device, return the packed contract on host.
+
+    With ``vary_difficulty``: Re ~ clip(N(5000, 2000²)), horizon from the
+    Re-schedule (bucketed), ν = 1/Re on the unit-torus benchmark.
+    """
+    cfg = gen_cfg.solver
+    n_traj = n_traj or gen_cfg.batch_size
+    solver = NSVorticitySolver(cfg)
+    k_re, k_ic = jax.random.split(key)
+    keys = jax.random.split(k_ic, n_traj)
+
+    if not gen_cfg.vary_difficulty:
+        nu = jnp.full((n_traj,), cfg.viscosity, jnp.float32)
+        # Re channel: the fixed-ν benchmark's effective Re = U·L/ν with U=L=1
+        re_fixed = jnp.clip(1.0 / cfg.viscosity, schedules.RE_MIN, schedules.RE_MAX)
+        re_norm = jnp.full((n_traj,), schedules.normalize_re(re_fixed), jnp.float32)
+        inner = max(int(round(cfg.t_end / cfg.dt)) // cfg.n_snapshots, 1)
+        out = _generate_bucket(
+            keys, nu, re_norm, solver, inner,
+            gen_cfg.grf_alpha, gen_cfg.grf_tau, gen_cfg.grf_sigma,
+        )
+        return np.asarray(jax.device_get(out))
+
+    re = schedules.sample_reynolds(k_re, n_traj, gen_cfg.re_mean, gen_cfg.re_std)
+    end_t = schedules.end_time_from_re(re)
+    re_norm = schedules.normalize_re(re)
+    nu = schedules.viscosity_from_re(re)
+
+    # host-side bucketing by quantized horizon (≤27 distinct values)
+    end_t_np = np.asarray(end_t)
+    keys_np = np.asarray(jax.random.key_data(keys))
+    out = np.empty(
+        (n_traj, cfg.n_snapshots + int(cfg.include_initial), cfg.resolution,
+         cfg.resolution, 6),
+        np.float32,
+    )
+    for horizon in np.unique(end_t_np):
+        idx = np.nonzero(end_t_np == horizon)[0]
+        # horizon is in "schedule seconds"; map onto solver time budget:
+        # steps = horizon / dt, split across n_snapshots
+        total_steps = int(round(float(horizon) / cfg.dt))
+        inner = max(total_steps // cfg.n_snapshots, 1)
+        sub_keys = jax.random.wrap_key_data(jnp.asarray(keys_np[idx]))
+        res = _generate_bucket(
+            sub_keys,
+            jnp.asarray(np.asarray(nu)[idx]),
+            jnp.asarray(np.asarray(re_norm)[idx]),
+            solver,
+            inner,
+            gen_cfg.grf_alpha,
+            gen_cfg.grf_tau,
+            gen_cfg.grf_sigma,
+        )
+        out[idx] = np.asarray(jax.device_get(res))
+    return out
+
+
+def generate_ns_dataset(
+    key: jax.Array,
+    gen_cfg: GenerationConfig,
+    n_traj: int,
+    writer=None,
+    mesh=None,
+) -> np.ndarray | None:
+    """Generate ``n_traj`` trajectories in reference-sized batches.
+
+    If ``writer`` is given (see `datagen.writer.ShardWriter`), each batch is
+    streamed to a shard (≡ the reference's per-batch `np.save`,
+    `Regular/main.py:1095-1097`) and None is returned; otherwise the full
+    array is assembled in host memory.
+    """
+    batches = []
+    n_done = 0
+    batch_keys = jax.random.split(key, -(-n_traj // gen_cfg.batch_size))
+    for bk in batch_keys:
+        take = min(gen_cfg.batch_size, n_traj - n_done)
+        arr = generate_ns_batch(bk, gen_cfg, take, mesh)
+        n_done += take
+        if writer is not None:
+            writer.write_batch(arr)
+        else:
+            batches.append(arr)
+    if writer is not None:
+        writer.close()
+        return None
+    return np.concatenate(batches, axis=0)

@@ -1,0 +1,113 @@
+"""Streaming shard writers: device→host→disk without stalling the solver.
+
+The reference saves one `.npy` per 128-trajectory batch then deletes the case
+directories (`Regular/main.py:1095-1116`). Here batches stream to `.npy` or
+HDF5 shards from a background writer thread (double buffering: the solver's
+next batch overlaps the previous batch's disk write) — the I/O subsystem the
+reference doesn't have (SURVEY.md §7.3 hard-part 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from pathlib import Path
+
+import numpy as np
+
+
+class ShardWriter:
+    """Writes (B, T, H, W, C) batches as numbered shards.
+
+    Formats: 'npy' (one `<prefix>_batch_<k>.npy` per batch, mirroring the
+    reference's `1results_batch_k.npy` naming) or 'h5' (one growable HDF5
+    dataset). Disk writes happen on a daemon thread fed by a bounded queue so
+    `write_batch` returns as soon as the host copy is enqueued.
+    """
+
+    def __init__(
+        self,
+        out_dir: str | os.PathLike,
+        prefix: str = "results",
+        fmt: str = "npy",
+        queue_depth: int = 2,
+    ):
+        if fmt not in ("npy", "h5"):
+            raise ValueError(f"unknown format {fmt!r}")
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.prefix = prefix
+        self.fmt = fmt
+        self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
+        self._idx = 0
+        self._n_written = 0
+        self._error: BaseException | None = None
+        self._h5 = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                break
+            idx, arr = item
+            try:
+                if self.fmt == "npy":
+                    np.save(self.out_dir / f"{self.prefix}_batch_{idx}.npy", arr)
+                else:
+                    self._h5_append(arr)
+                self._n_written += arr.shape[0]
+            except BaseException as e:  # propagate to close()
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _h5_append(self, arr: np.ndarray):
+        import h5py
+
+        if self._h5 is None:
+            self._h5 = h5py.File(self.out_dir / f"{self.prefix}.h5", "w")
+            self._h5.create_dataset(
+                "data",
+                shape=(0, *arr.shape[1:]),
+                maxshape=(None, *arr.shape[1:]),
+                dtype=arr.dtype,
+                chunks=(1, *arr.shape[1:]),
+            )
+        ds = self._h5["data"]
+        n0 = ds.shape[0]
+        ds.resize(n0 + arr.shape[0], axis=0)
+        ds[n0:] = arr
+
+    def write_batch(self, arr: np.ndarray):
+        if self._error is not None:
+            raise RuntimeError("writer thread failed") from self._error
+        self._q.put((self._idx, np.ascontiguousarray(arr)))
+        self._idx += 1
+
+    def close(self, metadata: dict | None = None):
+        self._q.put(None)
+        self._thread.join()
+        if self._h5 is not None:
+            self._h5.close()
+            self._h5 = None
+        if self._error is not None:
+            raise RuntimeError("writer thread failed") from self._error
+        meta = {"n_trajectories": self._n_written, "n_shards": self._idx,
+                "format": self.fmt, **(metadata or {})}
+        (self.out_dir / f"{self.prefix}_meta.json").write_text(json.dumps(meta, indent=2))
+
+
+def load_shards(out_dir: str | os.PathLike, prefix: str = "results") -> np.ndarray:
+    """Reassemble npy shards into one (N, T, H, W, C) array."""
+    out_dir = Path(out_dir)
+    files = sorted(
+        out_dir.glob(f"{prefix}_batch_*.npy"),
+        key=lambda p: int(p.stem.rsplit("_", 1)[1]),
+    )
+    if not files:
+        raise FileNotFoundError(f"no shards matching {prefix}_batch_*.npy in {out_dir}")
+    return np.concatenate([np.load(f) for f in files], axis=0)

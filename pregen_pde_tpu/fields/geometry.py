@@ -1,0 +1,142 @@
+"""Obstacle geometry: random hole sampling, binary masks, and SDFs — on device.
+
+Geometry is the reference's second difficulty axis. Re-implements, as pure
+jit/vmap-able functions:
+
+- single random hole placement (reference `Hole_Location/main.py:878-911`
+  `random_hole_centers`: one 16×16-cell hole, integer centres in [12, 120]);
+- multiple non-overlapping holes (reference `Multiple_Hole/main.py:993-1139`
+  `randomize_holes`: 2-10 boxes of 0.125×0.125 domain units on a 1/64 lattice,
+  sequential rejection) — here a bounded `lax.scan` placement that accepts a
+  candidate only if it doesn't overlap previously accepted holes;
+- the mask→SDF construction (reference `Regular/main.py:853-869`:
+  `sdf = edt(mask==0) − edt(mask==1)`, normalized by max |sdf|) — scipy's
+  host-side `distance_transform_edt` replaced by an exact two-phase squared
+  EDT (per-column 1-D pass + parabola minimization over columns), expressed
+  as dense broadcast min-reductions that map well onto the TPU VPU.
+
+Mask convention (matches the data contract): 1 = hole/obstacle, 0 = fluid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = 1.0e12
+
+
+def _edt_sq(zero_set: jax.Array) -> jax.Array:
+    """Exact squared Euclidean distance from every pixel to the nearest pixel
+    where ``zero_set`` is True. Returns +INF-ish where no True pixel exists.
+
+    Two-phase decomposition: d²(i,j) = min_{j'} [ g(i,j') + (j−j')² ] with
+    g(i,j') = min_{i': zero(i',j')} (i−i')². Each phase is a dense (n,n,n)
+    broadcast min — O(n³) flops, trivially parallel, no data-dependent control
+    flow (n=128 → 4 MFLOP/mask).
+    """
+    n_r, n_c = zero_set.shape
+    rows = jnp.arange(n_r, dtype=jnp.float32)
+    # phase 1: per-column 1-D squared distance
+    # cand[i, i', j] = (i - i')² + INF * (1 - zero[i', j])
+    d_rr = (rows[:, None] - rows[None, :]) ** 2  # (i, i')
+    blocked = jnp.where(zero_set, 0.0, _INF)  # (i', j)
+    g = jnp.min(d_rr[:, :, None] + blocked[None, :, :], axis=1)  # (i, j)
+    # phase 2: combine across columns
+    cols = jnp.arange(n_c, dtype=jnp.float32)
+    d_cc = (cols[:, None] - cols[None, :]) ** 2  # (j, j')
+    d2 = jnp.min(g[:, None, :] + d_cc.T[None, :, :], axis=2)  # (i, j)
+    return d2
+
+
+def sdf_from_mask(mask: jax.Array, normalize: bool = True) -> jax.Array:
+    """Signed distance field: positive in fluid, negative inside holes,
+    normalized by max |sdf| (reference `Regular/main.py:853-869`).
+
+    For an all-fluid mask the reference's scipy EDT degenerates; here the
+    no-hole case cleanly yields a constant field of 1.0 after normalization.
+    """
+    mask = mask.astype(jnp.float32)
+    is_hole = mask > 0.5
+    outside = jnp.sqrt(_edt_sq(is_hole))  # distance of fluid pixels to hole
+    inside = jnp.sqrt(_edt_sq(~is_hole))  # distance of hole pixels to fluid
+    # clamp the no-hole / no-fluid sentinel
+    outside = jnp.minimum(outside, jnp.float32(jnp.sqrt(2.0) * mask.shape[0]))
+    inside = jnp.minimum(inside, jnp.float32(jnp.sqrt(2.0) * mask.shape[0]))
+    sdf = outside - inside
+    if normalize:
+        max_abs = jnp.maximum(jnp.max(jnp.abs(sdf)), 1e-6)
+        sdf = sdf / max_abs
+    return sdf
+
+
+def box_mask(n: int, row0, col0, height, width) -> jax.Array:
+    """Axis-aligned box obstacle mask (1 inside the box). Traced-arg friendly."""
+    r = jnp.arange(n)
+    rows = (r[:, None] >= row0) & (r[:, None] < row0 + height)
+    cols = (r[None, :] >= col0) & (r[None, :] < col0 + width)
+    return (rows & cols).astype(jnp.float32)
+
+
+def disk_mask(n: int, row_c, col_c, radius) -> jax.Array:
+    """Disk obstacle (the FPO cylinder analog on the regular grid)."""
+    r = jnp.arange(n, dtype=jnp.float32)
+    d2 = (r[:, None] - row_c) ** 2 + (r[None, :] - col_c) ** 2
+    return (d2 <= radius**2).astype(jnp.float32)
+
+
+def sample_single_hole(key: jax.Array, n: int = 128, hole_size: int = 16) -> jax.Array:
+    """One hole_size² hole, integer centre uniform in [12, n-8] per axis
+    (reference `Hole_Location/main.py:878-911` uses [12, 120] on a 128 grid)."""
+    lo, hi = 12, n - 8
+    kr, kc = jax.random.split(key)
+    rc = jax.random.randint(kr, (), lo, hi + 1)
+    cc = jax.random.randint(kc, (), lo, hi + 1)
+    return box_mask(n, rc - hole_size // 2, cc - hole_size // 2, hole_size, hole_size)
+
+
+def sample_multi_holes(
+    key: jax.Array,
+    n: int = 128,
+    min_holes: int = 2,
+    max_holes: int = 10,
+    hole_cells: int = 16,
+    max_attempts: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """2..max_holes non-overlapping hole_cells² holes on a hole_cells/2 lattice.
+
+    Mirrors `Multiple_Hole/main.py:993-1139` (0.125×0.125 holes on a 1/64
+    lattice of a unit domain ≡ 16-cell boxes on an 8-cell lattice at n=128)
+    but with a bounded, jit-safe acceptance scan instead of host rejection
+    sampling: each of ``max_attempts`` candidates is accepted iff it doesn't
+    overlap previously accepted holes and the target count isn't yet reached.
+
+    Returns (mask, num_placed).
+    """
+    step = hole_cells // 2
+    n_slots = (n - hole_cells) // step + 1
+    k_count, k_pos = jax.random.split(key)
+    target = jax.random.randint(k_count, (), min_holes, max_holes + 1)
+    pos_keys = jax.random.split(k_pos, max_attempts)
+
+    def attempt(carry, k):
+        mask, placed = carry
+        kr, kc = jax.random.split(k)
+        r0 = jax.random.randint(kr, (), 0, n_slots) * step
+        c0 = jax.random.randint(kc, (), 0, n_slots) * step
+        cand = box_mask(n, r0, c0, hole_cells, hole_cells)
+        overlaps = jnp.any((cand > 0) & (mask > 0))
+        accept = (~overlaps) & (placed < target)
+        mask = jnp.where(accept, jnp.maximum(mask, cand), mask)
+        placed = placed + accept.astype(jnp.int32)
+        return (mask, placed), None
+
+    (mask, placed), _ = jax.lax.scan(
+        attempt, (jnp.zeros((n, n), jnp.float32), jnp.int32(0)), pos_keys
+    )
+    return mask, placed
+
+
+def no_hole_mask(n: int = 128) -> jax.Array:
+    """The 'easy' geometry: all fluid (LDC / no-hole datasets)."""
+    return jnp.zeros((n, n), jnp.float32)

@@ -164,25 +164,25 @@ class NSVorticitySolver:
 
     # -- trajectory API ----------------------------------------------------------
 
-    def make_trajectory_fn(self, method: str = "cn_heun"):
-        """Returns jit-able ``traj(w0) -> w_snapshots`` of shape
-        (n_snapshots[+1], n, n) in physical space.
-
-        Snapshot thinning ≡ the reference's controlDict rewrite to exactly 20
-        writes (`Regular/main.py:1002-1047`), expressed as `lax.scan` over
-        snapshot intervals with an inner `fori_loop` of solver steps.
-        """
+    def _build_traj(self, method: str, traced_nu: bool, inner_steps: int | None = None):
         cfg = self.cfg
         grid = self.grid
         n = grid.n
-        total_steps = int(round(cfg.t_end / cfg.dt))
-        inner = max(total_steps // cfg.n_snapshots, 1)
+        if inner_steps is None:
+            total_steps = int(round(cfg.t_end / cfg.dt))
+            inner_steps = max(total_steps // cfg.n_snapshots, 1)
         stepper = {"cn_heun": self.step_cn_heun, "cn_euler": self.step_cn_euler}[method]
 
-        def traj(w0: jax.Array) -> jax.Array:
+        def traj(w0: jax.Array, nu=None) -> jax.Array:
             real_dtype = w0.dtype
             dt = jnp.asarray(cfg.dt, dtype=real_dtype)
-            visc_num, visc_den = self._visc_factors(cfg.dt, real_dtype)
+            if traced_nu:
+                k2 = jnp.asarray(grid.k2, dtype=real_dtype)
+                nu_k2 = jnp.asarray(nu, dtype=real_dtype) * k2
+                visc_num = 1.0 - 0.5 * dt * nu_k2
+                visc_den = 1.0 / (1.0 + 0.5 * dt * nu_k2)
+            else:
+                visc_num, visc_den = self._visc_factors(cfg.dt, real_dtype)
             forcing = make_forcing(cfg, grid)
             f_hat = (
                 None
@@ -195,7 +195,7 @@ class NSVorticitySolver:
                 def one(i, wh):
                     return stepper(wh, dt, f_hat, visc_num, visc_den)
 
-                w_hat = jax.lax.fori_loop(0, inner, one, w_hat)
+                w_hat = jax.lax.fori_loop(0, inner_steps, one, w_hat)
                 return w_hat, jnp.fft.irfft2(w_hat, s=(n, n))
 
             _, snaps = jax.lax.scan(snapshot_body, w_hat0, None, length=cfg.n_snapshots)
@@ -205,9 +205,30 @@ class NSVorticitySolver:
 
         return traj
 
+    def make_trajectory_fn(self, method: str = "cn_heun", inner_steps: int | None = None):
+        """Returns jit-able ``traj(w0) -> w_snapshots`` of shape
+        (n_snapshots[+1], n, n) in physical space.
+
+        Snapshot thinning ≡ the reference's controlDict rewrite to exactly 20
+        writes (`Regular/main.py:1002-1047`), expressed as `lax.scan` over
+        snapshot intervals with an inner `fori_loop` of solver steps.
+        """
+        base = self._build_traj(method, traced_nu=False, inner_steps=inner_steps)
+        return lambda w0: base(w0)
+
+    def make_trajectory_fn_nu(self, method: str = "cn_heun", inner_steps: int | None = None):
+        """Like ``make_trajectory_fn`` but viscosity is a traced per-call scalar:
+        ``traj(w0, nu)`` — the physics-difficulty axis, vmap-able over a batch
+        of Reynolds numbers (reference difficulty: `Regular/main.py:474-518`)."""
+        return self._build_traj(method, traced_nu=True, inner_steps=inner_steps)
+
     def make_batched_trajectory_fn(self, method: str = "cn_heun"):
         """vmap over a leading batch of initial vorticities: (B,n,n) → (B,T,n,n)."""
         return jax.vmap(self.make_trajectory_fn(method))
+
+    def make_batched_trajectory_fn_nu(self, method: str = "cn_heun", inner_steps: int | None = None):
+        """vmap over (B,n,n) ICs and (B,) viscosities → (B,T,n,n)."""
+        return jax.vmap(self.make_trajectory_fn_nu(method, inner_steps))
 
     # -- diagnostics -------------------------------------------------------------
 

@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import distance_transform_edt
+
+from pregen_pde_tpu.fields.geometry import (
+    box_mask,
+    disk_mask,
+    no_hole_mask,
+    sample_multi_holes,
+    sample_single_hole,
+    sdf_from_mask,
+)
+
+
+def reference_sdf(mask: np.ndarray) -> np.ndarray:
+    """The reference's construction (`Regular/main.py:853-869`)."""
+    outside = distance_transform_edt(mask == 0)
+    inside = distance_transform_edt(mask == 1)
+    sdf = outside - inside
+    m = np.max(np.abs(sdf))
+    return sdf / m if m > 0 else sdf
+
+
+def test_sdf_matches_scipy_box():
+    mask = np.zeros((64, 64), np.float32)
+    mask[20:36, 28:44] = 1.0
+    ours = np.asarray(sdf_from_mask(jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, reference_sdf(mask), atol=1e-5)
+
+
+def test_sdf_matches_scipy_disk_and_multi():
+    mask = np.asarray(disk_mask(64, 32.0, 20.0, 7.5))
+    np.testing.assert_allclose(
+        np.asarray(sdf_from_mask(jnp.asarray(mask))), reference_sdf(mask), atol=1e-5
+    )
+    m2, n_placed = sample_multi_holes(jax.random.key(0), n=64)
+    m2 = np.asarray(m2)
+    assert int(n_placed) >= 2
+    np.testing.assert_allclose(
+        np.asarray(sdf_from_mask(jnp.asarray(m2))), reference_sdf(m2), atol=1e-5
+    )
+
+
+def test_single_hole_bounds():
+    for seed in range(5):
+        mask = np.asarray(sample_single_hole(jax.random.key(seed)))
+        assert mask.shape == (128, 128)
+        assert mask.sum() == 16 * 16  # hole never clipped at the border
+        rows = np.nonzero(mask.any(axis=1))[0]
+        assert 0 < rows[0] and rows[-1] < 127
+
+
+def test_multi_holes_nonoverlap_and_count():
+    for seed in range(5):
+        mask, placed = sample_multi_holes(jax.random.key(seed))
+        placed = int(placed)
+        assert 2 <= placed <= 10
+        # non-overlap ⇒ total area is exactly placed * 16²
+        assert float(np.asarray(mask).sum()) == placed * 256
+
+
+def test_no_hole_sdf_constant():
+    sdf = np.asarray(sdf_from_mask(no_hole_mask(32)))
+    np.testing.assert_allclose(sdf, 1.0, atol=1e-6)
+
+
+def test_box_mask_traced_args():
+    m = jax.jit(lambda r, c: box_mask(32, r, c, 8, 8))(
+        jnp.asarray(4), jnp.asarray(10)
+    )
+    assert float(m.sum()) == 64.0

@@ -1,0 +1,13 @@
+from pregen_pde_tpu.ops.bias_act import activation_funcs, bias_act
+from pregen_pde_tpu.ops.filter_design import design_lowpass_filter, setup_filter
+from pregen_pde_tpu.ops.filtered_lrelu import filtered_lrelu
+from pregen_pde_tpu.ops.upfirdn2d import upfirdn2d
+
+__all__ = [
+    "activation_funcs",
+    "bias_act",
+    "design_lowpass_filter",
+    "setup_filter",
+    "filtered_lrelu",
+    "upfirdn2d",
+]

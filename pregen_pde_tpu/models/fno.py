@@ -1,0 +1,116 @@
+"""FNO — 2-D Fourier Neural Operator (flax.linen, NHWC).
+
+Same architecture family as the reference baseline
+(`Autoregressive_Baseline_Scripts/models/FNO.py`): lift 1×1 conv on
+[input channels, x-grid, y-grid] → n_layers × (truncated-mode spectral conv
++ 1×1 conv + GELU) → two-layer projection head, domain zero-padding of ¼
+before the spectral layers, output re-masked by the validity mask when given.
+
+TPU notes: the mode contraction is one complex einsum ``bxyi,ixyo->bxyo``
+evaluated as two real einsums (MXU-friendly); FFTs are XLA's native TPU FFT.
+Weights are stored as separate real/imag parameters (optimizer-friendly,
+avoids complex dtypes in the param pytree).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SpectralConv2d(nn.Module):
+    """Truncated-mode spectral convolution (reference `FNO.py:9-45`):
+    rfft2 → complex channel-mixing einsum on the lowest modes1×modes2 modes
+    (two corner blocks: positive and negative y-frequencies) → irfft2."""
+
+    out_channels: int
+    modes1: int  # retained modes along H (full-fft axis): ±modes1
+    modes2: int  # retained modes along W (rfft axis)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, H, W, C)
+        b, h, w, c = x.shape
+        m1, m2 = self.modes1, self.modes2
+        assert 2 * m1 <= h and m2 <= w // 2 + 1, "too many modes for resolution"
+        scale = 1.0 / (c * self.out_channels)
+
+        def cplx_param(name):
+            re = self.param(
+                f"{name}_re",
+                nn.initializers.uniform(scale),
+                (c, m1, m2, self.out_channels),
+                jnp.float32,
+            )
+            im = self.param(
+                f"{name}_im",
+                nn.initializers.uniform(scale),
+                (c, m1, m2, self.out_channels),
+                jnp.float32,
+            )
+            return jax.lax.complex(re, im)
+
+        w_pos = cplx_param("w_pos")  # modes [0, m1)
+        w_neg = cplx_param("w_neg")  # modes [-m1, 0)
+
+        x_hat = jnp.fft.rfft2(x, axes=(1, 2))  # (B, H, W//2+1, C) complex
+        top = jnp.einsum("bxyi,ixyo->bxyo", x_hat[:, :m1, :m2, :], w_pos)
+        bot = jnp.einsum("bxyi,ixyo->bxyo", x_hat[:, -m1:, :m2, :], w_neg)
+
+        out_hat = jnp.zeros(
+            (b, h, w // 2 + 1, self.out_channels), dtype=x_hat.dtype
+        )
+        out_hat = out_hat.at[:, :m1, :m2, :].set(top)
+        out_hat = out_hat.at[:, -m1:, :m2, :].set(bot)
+        return jnp.fft.irfft2(out_hat, s=(h, w), axes=(1, 2)).astype(x.dtype)
+
+
+class FNO2d(nn.Module):
+    """in: (B, H, W, in_channels) [+ optional coordinate grid appended inside];
+    out: (B, H, W, out_channels)."""
+
+    out_channels: int = 3
+    modes: int = 12
+    width: int = 32
+    n_layers: int = 4
+    pad_frac: float = 0.25  # zero-pad the domain before spectral layers
+    append_grid: bool = True
+    mask_channel: int | None = None  # input channel index of validity mask
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lead_time: jax.Array | None = None) -> jax.Array:
+        b, h, w, _ = x.shape
+        valid = None
+        if self.mask_channel is not None:
+            valid = x[..., self.mask_channel : self.mask_channel + 1]
+        if self.append_grid:
+            gx, gy = np.meshgrid(
+                np.linspace(0, 1, h, dtype=np.float32),
+                np.linspace(0, 1, w, dtype=np.float32),
+                indexing="ij",
+            )
+            grid = jnp.broadcast_to(
+                jnp.asarray(np.stack([gx, gy], -1))[None], (b, h, w, 2)
+            ).astype(x.dtype)
+            x = jnp.concatenate([x, grid], axis=-1)
+
+        x = nn.Dense(self.width)(x)
+
+        pad_h, pad_w = int(h * self.pad_frac), int(w * self.pad_frac)
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+
+        for _ in range(self.n_layers):
+            x_spec = SpectralConv2d(self.width, self.modes, self.modes)(x)
+            x_loc = nn.Dense(self.width)(x)
+            x = nn.gelu(x_spec + x_loc)
+
+        x = x[:, :h, :w, :]
+        x = nn.Dense(self.width * 2)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.out_channels)(x)
+        if valid is not None:
+            x = x * valid
+        return x

@@ -1,0 +1,38 @@
+"""Evaluation metrics: median/mean relative Lp errors (%), per channel.
+
+Mirrors `scOT/metrics.py` (`lp_error :4`, `relative_lp_error :12`) and the
+CNO median/mean validation tracking (`CNO_timeModule_CIN.py:1379-1439`).
+Pure numpy — runs on host over accumulated predictions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def lp_error(pred: np.ndarray, target: np.ndarray, p: int = 1) -> np.ndarray:
+    """Per-sample absolute Lp error, summed over all non-batch axes."""
+    axes = tuple(range(1, pred.ndim))
+    return (np.abs(pred - target) ** p).sum(axis=axes) ** (1.0 / p)
+
+
+def relative_lp_error(
+    pred: np.ndarray, target: np.ndarray, p: int = 1, percent: bool = True,
+    eps: float = 1e-10,
+) -> np.ndarray:
+    """Per-sample relative Lp error (optionally in %)."""
+    num = lp_error(pred, target, p)
+    den = lp_error(np.zeros_like(target), target, p) + eps
+    rel = num / den
+    return rel * 100.0 if percent else rel
+
+
+def error_summary(pred: np.ndarray, target: np.ndarray, p: int = 1) -> dict:
+    rel = relative_lp_error(pred, target, p)
+    return {
+        "median_rel_%": float(np.median(rel)),
+        "mean_rel_%": float(np.mean(rel)),
+        "std_rel_%": float(np.std(rel)),
+        "min_rel_%": float(np.min(rel)),
+        "max_rel_%": float(np.max(rel)),
+    }

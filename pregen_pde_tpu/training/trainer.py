@@ -1,0 +1,247 @@
+"""One training harness for every model family.
+
+Replaces the reference's three stacks — Lightning (`TrainCNO_time_L.py`),
+customized HF Trainer (`scOT/trainer.py`), hand-rolled loop
+(`scripts/train.py`) — with a single functional JAX loop:
+
+- AdamW + cosine (or constant) schedule + global-norm clipping, with
+  multi-tier learning rates via optax parameter partitioning (≡ the reference
+  FT param groups, `CNO_timeModule_CIN.py:983-994`, `scOT/trainer.py:77-227`);
+- data parallelism = batch-axis NamedSharding over the mesh `data` axis;
+  gradient all-reduce is inserted by XLA (≡ DDP/NCCL);
+- median/mean relative-L1 validation tracking with best-checkpoint selection
+  (≡ ModelCheckpoint(monitor="mean_val_l"), `TrainCNO_time_L.py:204`) and
+  early stopping;
+- checkpoint/resume via orbax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from pregen_pde_tpu.parallel.meshes import batch_sharding, make_mesh, replicated
+from pregen_pde_tpu.training.losses import relative_lp_loss
+from pregen_pde_tpu.training.metrics import error_summary
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    learning_rate: float = 5e-5
+    weight_decay: float = 1e-10
+    epochs: int = 10
+    batch_size: int = 16
+    schedule: str = "cosine"  # "cosine" | "constant" | "step"
+    warmup_frac: float = 0.0
+    grad_clip: float = 5.0  # scOT's max_grad_norm (`configs/mixing.yaml`)
+    early_stop_patience: int | None = 100  # reference EarlyStopping(patience=100)
+    loss_p: int = 1
+    seed: int = 0
+    ckpt_dir: str | None = None
+    # multi-tier learning rates: map from tier name → lr; params are assigned
+    # to tiers by `lr_tier_fn(path) -> name` (None → single tier)
+    lr_tiers: dict[str, float] | None = None
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def _label_params(params, tier_fn: Callable[[tuple], str]):
+    def label(path, _leaf):
+        return tier_fn(tuple(str(p) for p in path))
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_optimizer(cfg: TrainerConfig, steps_per_epoch: int,
+                    params=None, tier_fn=None):
+    total_steps = max(cfg.epochs * steps_per_epoch, 1)
+
+    def make_sched(lr):
+        if cfg.schedule == "cosine":
+            warmup = int(cfg.warmup_frac * total_steps)
+            if warmup > 0:
+                return optax.warmup_cosine_decay_schedule(
+                    0.0, lr, warmup, total_steps
+                )
+            return optax.cosine_decay_schedule(lr, total_steps)
+        if cfg.schedule == "step":
+            return optax.exponential_decay(
+                lr, max(total_steps // 3, 1), 0.1, staircase=True
+            )
+        return optax.constant_schedule(lr)
+
+    def make_tx(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(make_sched(lr), weight_decay=cfg.weight_decay),
+        )
+
+    if cfg.lr_tiers and tier_fn is not None and params is not None:
+        labels = _label_params(params, tier_fn)
+        txs = {name: make_tx(lr) for name, lr in cfg.lr_tiers.items()}
+        return optax.multi_transform(txs, labels)
+    return make_tx(cfg.learning_rate)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        cfg: TrainerConfig,
+        mesh=None,
+        loss_fn: Callable | None = None,
+        tier_fn: Callable | None = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.loss_fn = loss_fn or (
+            lambda pred, lab: relative_lp_loss(pred, lab, p=cfg.loss_p)
+        )
+        self.tier_fn = tier_fn
+        self.state: TrainState | None = None
+        self.history: list[dict] = []
+        self.best_metric = float("inf")
+        self.best_params = None
+        self._ckpt_mgr = None
+        if cfg.ckpt_dir is not None:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                Path(cfg.ckpt_dir).absolute(),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1),
+            )
+
+    # -- setup ---------------------------------------------------------------
+
+    def init_state(self, sample_batch: dict, steps_per_epoch: int) -> TrainState:
+        rng = jax.random.key(self.cfg.seed)
+        inp = jnp.asarray(sample_batch["input"][:1])
+        t = jnp.asarray(sample_batch["time"][:1])
+        params = self.model.init(rng, inp, t)["params"]
+        tx = build_optimizer(self.cfg, steps_per_epoch, params, self.tier_fn)
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=tx
+        )
+        # replicate model state over the mesh; batches get the data axis
+        state = jax.device_put(state, replicated(self.mesh))
+        self.state = state
+        return state
+
+    # -- steps ---------------------------------------------------------------
+
+    def _make_train_step(self):
+        loss_fn = self.loss_fn
+
+        @jax.jit
+        def train_step(state: TrainState, batch: dict):
+            def compute(params):
+                pred = state.apply_fn(
+                    {"params": params}, batch["input"], batch["time"]
+                )
+                return loss_fn(pred, batch["label"])
+
+            loss, grads = jax.value_and_grad(compute)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        return train_step
+
+    def _make_eval_step(self):
+        @jax.jit
+        def eval_step(state: TrainState, batch: dict):
+            return state.apply_fn(
+                {"params": state.params}, batch["input"], batch["time"]
+            )
+
+        return eval_step
+
+    def _shard_batch(self, batch: dict) -> dict:
+        out = {}
+        for k, v in batch.items():
+            v = jnp.asarray(v)
+            out[k] = jax.device_put(v, batch_sharding(self.mesh, v.ndim))
+        return out
+
+    # -- loops ---------------------------------------------------------------
+
+    def evaluate(self, loader) -> dict:
+        eval_step = self._make_eval_step()
+        preds, labs = [], []
+        for batch in loader:
+            sb = self._shard_batch(batch)
+            preds.append(np.asarray(eval_step(self.state, sb)))
+            labs.append(batch["label"])
+        pred = np.concatenate(preds)
+        lab = np.concatenate(labs)
+        return error_summary(pred, lab, p=self.cfg.loss_p)
+
+    def fit(self, train_loader, val_loaders: dict[str, Any] | None = None,
+            log_fn: Callable[[dict], None] | None = None) -> dict:
+        cfg = self.cfg
+        if self.state is None:
+            first = next(iter(train_loader))
+            self.init_state(first, steps_per_epoch=len(train_loader))
+        train_step = self._make_train_step()
+        patience_left = cfg.early_stop_patience or np.inf
+
+        for epoch in range(cfg.epochs):
+            t0 = _time.time()
+            losses = []
+            for batch in train_loader:
+                self.state, loss = train_step(self.state, self._shard_batch(batch))
+                losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else np.nan
+
+            rec = {"epoch": epoch, "train_loss": train_loss,
+                   "time_s": _time.time() - t0}
+            if val_loaders:
+                vals = []
+                for name, vl in val_loaders.items():
+                    s = self.evaluate(vl)
+                    rec[f"{name}_median_rel_%"] = s["median_rel_%"]
+                    rec[f"{name}_mean_rel_%"] = s["mean_rel_%"]
+                    vals.append(s["mean_rel_%"])
+                mean_val = float(np.mean(vals))
+                rec["mean_val_rel_%"] = mean_val
+                if mean_val < self.best_metric:
+                    self.best_metric = mean_val
+                    self.best_params = jax.device_get(self.state.params)
+                    patience_left = cfg.early_stop_patience or np.inf
+                    self._save_ckpt(epoch)
+                else:
+                    patience_left -= 1
+            self.history.append(rec)
+            if log_fn:
+                log_fn(rec)
+            if patience_left <= 0:
+                break
+        return {"best_metric": self.best_metric, "history": self.history}
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _save_ckpt(self, step: int):
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        self._ckpt_mgr.save(
+            step, args=ocp.args.StandardSave(jax.device_get(self.state.params))
+        )
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore_best(self):
+        if self.best_params is not None:
+            self.state = self.state.replace(
+                params=jax.device_put(self.best_params, replicated(self.mesh))
+            )
+        return self.state

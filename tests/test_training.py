@@ -1,0 +1,110 @@
+import numpy as np
+
+from pregen_pde_tpu.training.datasets import (
+    BatchLoader,
+    TimePairConfig,
+    TimePairDataset,
+    build_time_indices,
+    compute_stats,
+    make_mixed_datasets,
+)
+from pregen_pde_tpu.training.losses import (
+    grouped_relative_lp_loss,
+    masked_mse,
+    relative_lp_loss,
+)
+
+import jax.numpy as jnp
+
+
+def _fake_data(n=12, t=5, hw=8, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, t, hw, hw, 6)).astype(np.float32)
+    d[..., 4] = 0.0
+    d[..., 5] = 1.0
+    return d
+
+
+def test_time_indices_transitions():
+    # allowed_transitions=[1,2]: all (i,j) with j-i in {1,2}
+    cfg = TimePairConfig(max_num_time_steps=4, time_step_size=1,
+                         allowed_transitions=[1, 2])
+    idx = build_time_indices(cfg)
+    assert (0, 1) in idx and (0, 2) in idx and (2, 4) in idx
+    assert (0, 3) not in idx and (0, 0) not in idx
+    # None → t1 fixed at 0 incl. (0,0)
+    cfg2 = TimePairConfig(max_num_time_steps=4, allowed_transitions=None)
+    idx2 = build_time_indices(cfg2)
+    assert idx2 == [(0, 0), (0, 1), (0, 2), (0, 3), (0, 4)]
+
+
+def test_dataset_item_semantics():
+    data = _fake_data()
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1],
+                         n_val=2, n_test=2, time_input=True)
+    ds = TimePairDataset(data, cfg, "train", num_trajectories=8)
+    assert len(ds) == 8 * 4  # 4 transitions of size 1
+    time, inp, lab = ds[0]
+    assert inp.shape == (8, 8, 7)  # 6 + time channel
+    assert lab.shape == (8, 8, 3)
+    np.testing.assert_allclose(time, 1 / 19.0, rtol=1e-6)
+    np.testing.assert_allclose(inp[..., 6], 1 / 19.0, rtol=1e-6)
+    # normalization: reconstructed label must equal raw data
+    raw = ds.data[0, 1, :, :, :3]
+    np.testing.assert_allclose(lab * ds.std + ds.mean, raw, rtol=1e-4, atol=1e-5)
+    # splits
+    val = TimePairDataset(data, cfg, "val", mean=ds.mean, std=ds.std)
+    test = TimePairDataset(data, cfg, "test", mean=ds.mean, std=ds.std)
+    assert val.start == 8 and val.n_traj == 2
+    assert test.start == 10 and test.n_traj == 2
+
+
+def test_streaming_stats_match_global():
+    a, b = _fake_data(seed=1), _fake_data(seed=2)
+    mean, std = compute_stats([a, b])
+    both = np.concatenate([a, b])[..., :3].reshape(-1, 3)
+    np.testing.assert_allclose(mean, both.mean(0), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(std, both.std(0), rtol=1e-4)
+
+
+def test_mixing_alpha_split():
+    hard, easy = _fake_data(seed=3), _fake_data(seed=4)
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1],
+                         n_val=2, n_test=2)
+    train, vh, ve, th, te = make_mixed_datasets(hard, easy, alpha=0.25,
+                                                total_trajectories=8, cfg=cfg)
+    # 2 hard + 6 easy trajectories × 4 pairs
+    assert len(train) == 8 * 4
+    assert train.parts[0].n_traj == 2 and train.parts[1].n_traj == 6
+    # alpha=0 → all easy
+    tr0, *_ = make_mixed_datasets(hard, easy, 0.0, 8, cfg)
+    assert len(tr0.parts) == 1 and tr0.parts[0].n_traj == 8
+
+
+def test_batch_loader():
+    data = _fake_data()
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1],
+                         n_val=2, n_test=2)
+    ds = TimePairDataset(data, cfg, "train", num_trajectories=8)
+    loader = BatchLoader(ds, batch_size=8, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 8
+    b = batches[0]
+    assert b["input"].shape == (8, 8, 8, 7)
+    assert b["label"].shape == (8, 8, 8, 3)
+    assert b["time"].shape == (8,)
+
+
+def test_losses():
+    pred = jnp.ones((2, 4, 4, 3))
+    target = jnp.ones((2, 4, 4, 3))
+    assert float(relative_lp_loss(pred, target)) < 1e-9
+    # doubling error doubles relative L1
+    t2 = jnp.zeros((2, 4, 4, 3)).at[:, 0, 0, 0].set(1.0)
+    l1 = float(relative_lp_loss(target + 1.0, target))
+    np.testing.assert_allclose(l1, 1.0, rtol=1e-6)
+    g = float(grouped_relative_lp_loss(pred + 1.0, pred, [[0], [1, 2]]))
+    np.testing.assert_allclose(g, 1.0, rtol=1e-6)
+    valid = jnp.ones((2, 4, 4, 1))
+    m = float(masked_mse(pred + 2.0, pred, valid))
+    np.testing.assert_allclose(m, 4.0, rtol=1e-6)

@@ -1,0 +1,75 @@
+"""North-star benchmark: 2-D NS 256² vorticity trajectory generation throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.md): pseudo-spectral 2-D NS vorticity, ν=1e-4, 256² grid,
+50 snapshots × 50 inner steps = 2500 IMEX steps per trajectory — comparable
+work to the reference's median icoFoam run (500-13,500 PISO steps on a 128²
+FVM mesh, `FPO_cylinder/Regular/main.py:969-998` + `controlDict:25-31`).
+
+Baseline: the reference publishes no timing tables (BASELINE.md). We use a
+deliberately *favorable-to-the-reference* estimate of its single-core icoFoam
+cost: 2,500 transient PISO steps on 16k cells ≈ 60 s/trajectory ⇒
+1/60 traj/s/core. `vs_baseline` = our traj/s/chip ÷ that.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from pregen_pde_tpu.core.config import NSVorticityConfig
+from pregen_pde_tpu.fields.grf import grf_2d
+from pregen_pde_tpu.solvers.spectral_ns import NSVorticitySolver
+
+BASELINE_TRAJ_PER_SEC = 1.0 / 60.0  # reference icoFoam estimate (see docstring)
+
+BATCH = 16
+CFG = NSVorticityConfig(
+    resolution=256,
+    viscosity=1e-4,
+    dt=1e-4,
+    t_end=0.25,  # 2500 steps
+    n_snapshots=50,
+    forcing="fno",
+    include_initial=True,
+)
+
+
+def main():
+    solver = NSVorticitySolver(CFG)
+    keys = jax.random.split(jax.random.key(0), BATCH)
+    w0 = jax.jit(jax.vmap(lambda k: grf_2d(k, solver.grid)))(keys)
+    w0.block_until_ready()
+
+    traj = jax.jit(solver.make_batched_trajectory_fn())
+
+    def run_sync():
+        # device_get of a tiny slice forces real completion; block_until_ready
+        # is a no-op on tunneled backends, so never trust it for timing here.
+        return jax.device_get(traj(w0)[:, -1, 0, 0])
+
+    run_sync()  # warmup / compile
+
+    n_rep = 2
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        run_sync()
+    elapsed = (time.perf_counter() - t0) / n_rep
+
+    traj_per_sec = BATCH / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "trajectories/sec/chip (2D NS 256^2 vorticity, 2500 IMEX steps, 50 snapshots)",
+                "value": round(traj_per_sec, 4),
+                "unit": "traj/s/chip",
+                "vs_baseline": round(traj_per_sec / BASELINE_TRAJ_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,347 @@
+"""CNO — Convolutional Neural Operator with anti-aliased activations
+(flax.linen, NHWC).
+
+Architecture mirrors the reference `CNO_time`
+(`CNO_Experiments/CNO_timeModule_CIN.py:514-884`): lift → N_layers ×
+[N_res ResidualBlocks → (D) CNOBlock, skip saved] → optional ViT bottleneck →
+N_res_neck residual neck → N_layers × [(I) ED_expansion on skip + concat →
+decoder_inv → (U) CNOBlock] → concat skip0 → project. Channel schedule
+`encoder_features = [mult/2, mult·2^i]` (`:585-599`); filter parameters
+cutoff = size/2.0001, halfwidth = 0.8·size − cutoff (`:262-266`); FILM
+lead-time conditioning with zero-initialized scale/bias MLPs (`:27-70`).
+
+The computational core is the anti-aliased LReLu (reference
+`training/filtered_networks.py:199-311` calling the CUDA `filtered_lrelu`):
+here it is `pregen_pde_tpu.ops.filtered_lrelu` — two depthwise dilated convs
+XLA fuses onto the TPU conv units, with Kaiser filters designed host-side at
+module-construction time.
+
+Norm note: the reference's FILM supports BatchNorm/InstanceNorm/LayerNorm
+selected by `nl_dim` (`:51-58`); default CNO_time config (`nl_dim=[1]`) is
+Identity. We implement the stateless options (none/instance/layer) —
+cross-replica BatchNorm is deliberately omitted (sync-free > parity for a
+TPU-sharded trainer; the reference's own default path doesn't use it either).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pregen_pde_tpu.ops.filter_design import design_lowpass_filter
+from pregen_pde_tpu.ops.filtered_lrelu import filtered_lrelu
+
+
+# ---------------------------------------------------------------------------
+# Anti-aliased leaky ReLU layer
+# ---------------------------------------------------------------------------
+class AntiAliasedLReLu(nn.Module):
+    """Reference `LReLu` (`filtered_networks.py:199-311`): design per-layer
+    Kaiser FIR up/down filters, compute the symmetric-interpretation padding,
+    apply filtered_lrelu with gain √2, slope 0.2, learnable bias."""
+
+    channels: int
+    in_size: int
+    out_size: int
+    in_cutoff: float
+    out_cutoff: float
+    in_half_width: float
+    out_half_width: float
+    filter_size: int = 6
+    lrelu_upsampling: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # NHWC
+        in_rate, out_rate = self.in_size, self.out_size
+        tmp_rate = max(in_rate, out_rate) * self.lrelu_upsampling
+
+        up_factor = int(np.rint(tmp_rate / in_rate))
+        up_taps = self.filter_size * up_factor if up_factor > 1 else 1
+        fu = design_lowpass_filter(
+            up_taps, cutoff=self.in_cutoff, width=self.in_half_width * 2,
+            fs=tmp_rate,
+        )
+
+        down_factor = int(np.rint(tmp_rate / out_rate))
+        down_taps = self.filter_size * down_factor if down_factor > 1 else 1
+        fd = design_lowpass_filter(
+            down_taps, cutoff=self.out_cutoff, width=self.out_half_width * 2,
+            fs=tmp_rate,
+        )
+
+        # padding per the symmetric interpretation (`filtered_networks.py:254-262`)
+        pad_total = (self.out_size - 1) * down_factor + 1
+        pad_total -= self.in_size * up_factor
+        pad_total += up_taps + down_taps - 2
+        pad_lo = (pad_total + up_factor) // 2
+        pad_hi = pad_total - pad_lo
+        padding = [int(pad_lo), int(pad_hi), int(pad_lo), int(pad_hi)]
+
+        b = self.param("bias", nn.initializers.zeros, (self.channels,))
+        fu_j = None if fu is None else jnp.asarray(fu)
+        fd_j = None if fd is None else jnp.asarray(fd)
+        y = filtered_lrelu(
+            x, fu_j, fd_j, b.astype(x.dtype),
+            up=up_factor, down=down_factor, padding=padding,
+            gain=float(np.sqrt(2)), slope=0.2, clamp=None,
+        )
+        assert y.shape[1] == self.out_size and y.shape[2] == self.out_size, (
+            y.shape, self.out_size)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# FILM lead-time conditioning
+# ---------------------------------------------------------------------------
+class FILM(nn.Module):
+    """Per-channel scale/bias MLPs on the scalar lead time after a norm
+    (reference `CNO_timeModule_CIN.py:27-70`); zero-initialized so the layer
+    starts as identity (`:43-49`). norm ∈ {"none", "instance", "layer"}."""
+
+    channels: int
+    norm: str = "none"
+    intermediate: int = 128
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: jax.Array) -> jax.Array:
+        if self.norm == "instance":
+            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=True,
+                             use_scale=True)(x)
+        elif self.norm == "layer":
+            x = nn.LayerNorm(reduction_axes=(-3, -2, -1))(x)
+        elif self.norm != "none":
+            raise ValueError(self.norm)
+
+        t = time.reshape(-1, 1).astype(x.dtype)
+        zeros = nn.initializers.zeros
+        lat_s = nn.Dense(self.intermediate, kernel_init=zeros)(t)
+        scale = nn.Dense(self.channels, kernel_init=zeros,
+                         bias_init=nn.initializers.ones)(lat_s)
+        lat_b = nn.Dense(self.intermediate, kernel_init=zeros)(t)
+        bias = nn.Dense(self.channels, kernel_init=zeros, bias_init=zeros)(lat_b)
+        return x * scale[:, None, None, :] + bias[:, None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+def _filter_params(size: int, cutoff_den: float, half_width_mult: float):
+    cutoff = size / cutoff_den
+    half_width = half_width_mult * size - cutoff
+    return cutoff, half_width
+
+
+class CNOBlock(nn.Module):
+    """conv3×3 → FILM(time) → anti-aliased activation with in→out resampling
+    (reference `CNO_timeModule_CIN.py:227-335`)."""
+
+    out_channels: int
+    in_size: int
+    out_size: int
+    cutoff_den: float = 2.0001
+    conv_kernel: int = 3
+    filter_size: int = 6
+    lrelu_upsampling: int = 2
+    half_width_mult: float = 0.8
+    use_time: bool = True
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
+        in_cut, in_hw = _filter_params(self.in_size, self.cutoff_den,
+                                       self.half_width_mult)
+        out_cut, out_hw = _filter_params(self.out_size, self.cutoff_den,
+                                         self.half_width_mult)
+        x = nn.Conv(self.out_channels, (self.conv_kernel, self.conv_kernel),
+                    padding="SAME")(x)
+        if self.use_time:
+            x = FILM(self.out_channels, norm=self.norm)(x, time)
+        return AntiAliasedLReLu(
+            channels=self.out_channels, in_size=self.in_size,
+            out_size=self.out_size, in_cutoff=in_cut, out_cutoff=out_cut,
+            in_half_width=in_hw, out_half_width=out_hw,
+            filter_size=self.filter_size, lrelu_upsampling=self.lrelu_upsampling,
+        )(x)
+
+
+class LiftProjectBlock(nn.Module):
+    """CNOBlock(in→latent, no time) → conv(latent→out)
+    (reference `:338-387`)."""
+
+    out_channels: int
+    in_size: int
+    out_size: int
+    latent_dim: int = 64
+    conv_kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
+        x = CNOBlock(
+            out_channels=self.latent_dim, in_size=self.in_size,
+            out_size=self.out_size, use_time=False,
+        )(x)
+        return nn.Conv(self.out_channels,
+                       (self.conv_kernel, self.conv_kernel), padding="SAME")(x)
+
+
+class ResidualBlock(nn.Module):
+    """2 × (conv → FILM → act) + skip, constant size (reference `:393-510`)."""
+
+    channels: int
+    size: int
+    cutoff_den: float = 2.0001
+    conv_kernel: int = 3
+    filter_size: int = 6
+    lrelu_upsampling: int = 2
+    half_width_mult: float = 0.8
+    use_time: bool = True
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
+        cut, hw = _filter_params(self.size, self.cutoff_den, self.half_width_mult)
+        out = nn.Conv(self.channels, (self.conv_kernel, self.conv_kernel),
+                      padding="SAME")(x)
+        if self.use_time:
+            out = FILM(self.channels, norm=self.norm)(out, time)
+        out = AntiAliasedLReLu(
+            channels=self.channels, in_size=self.size, out_size=self.size,
+            in_cutoff=cut, out_cutoff=cut, in_half_width=hw, out_half_width=hw,
+            filter_size=self.filter_size,
+            lrelu_upsampling=self.lrelu_upsampling,
+        )(out)
+        out = nn.Conv(self.channels, (self.conv_kernel, self.conv_kernel),
+                      padding="SAME")(out)
+        if self.use_time:
+            out = FILM(self.channels, norm=self.norm)(out, time)
+        return x + out
+
+
+# ---------------------------------------------------------------------------
+# Optional ViT bottleneck (reference `:76-216`, off by default)
+# ---------------------------------------------------------------------------
+class ViTBottleneck(nn.Module):
+    patch_size: int = 1
+    depth: int = 4
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # NHWC
+        b, h, w, c = x.shape
+        p = self.patch_size
+        dim = c * p * p
+        tokens = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 2, 4, 5)
+        tokens = tokens.reshape(b, (h // p) * (w // p), dim)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, tokens.shape[1], dim))
+        tokens = tokens + pos
+        for _ in range(self.depth):
+            y = nn.LayerNorm()(tokens)
+            y = nn.MultiHeadDotProductAttention(num_heads=self.heads)(y, y)
+            tokens = tokens + y
+            y = nn.LayerNorm()(tokens)
+            y = nn.Dense(dim * 2)(y)
+            y = nn.gelu(y)
+            y = nn.Dense(dim)(y)
+            tokens = tokens + y
+        x = tokens.reshape(b, h // p, w // p, p, p, c).transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+class CNO(nn.Module):
+    """U-shaped operator; input (B, in_size, in_size, in_dim) + lead time (B,)
+    → (B, out_size, out_size, out_dim). Reference `CNO_time.forward`
+    (`CNO_timeModule_CIN.py:838-884`)."""
+
+    in_size: int
+    out_dim: int = 3
+    n_layers: int = 3
+    n_res: int = 1
+    n_res_neck: int = 6
+    channel_multiplier: int = 32
+    latent_lift_proj_dim: int = 64
+    add_inv: bool = True
+    use_time: bool = True
+    norm: str = "none"
+    use_attention: bool = False
+    out_size: int | None = None  # None → in_size
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
+        nl = self.n_layers
+        out_size = self.out_size or self.in_size
+        # channel schedule (`:585-599`)
+        enc_feat = [self.channel_multiplier // 2] + [
+            (2**i) * self.channel_multiplier for i in range(nl)
+        ]
+        dec_feat_in = list(reversed(enc_feat[1:]))
+        dec_feat_out = list(reversed(enc_feat[:-1]))
+        for i in range(1, nl):
+            dec_feat_in[i] *= 2  # concat with expanded skips
+        inv_feat = list(dec_feat_in) + [enc_feat[0] + dec_feat_out[-1]]
+
+        enc_sizes = [self.in_size // 2**i for i in range(nl + 1)]
+        dec_sizes = [out_size // 2 ** (nl - i) for i in range(nl + 1)]
+
+        kw = dict(use_time=self.use_time, norm=self.norm)
+
+        x = LiftProjectBlock(
+            out_channels=enc_feat[0], in_size=self.in_size,
+            out_size=enc_sizes[0], latent_dim=self.latent_lift_proj_dim,
+        )(x, time)
+
+        skips = []
+        for i in range(nl):
+            for _ in range(self.n_res):
+                x = ResidualBlock(channels=enc_feat[i], size=enc_sizes[i], **kw)(
+                    x, time
+                )
+            skips.append(x)
+            x = CNOBlock(
+                out_channels=enc_feat[i + 1], in_size=enc_sizes[i],
+                out_size=enc_sizes[i + 1], **kw,
+            )(x, time)
+
+        if self.use_attention:
+            x = ViTBottleneck()(x)
+        for _ in range(self.n_res_neck):
+            x = ResidualBlock(channels=enc_feat[nl], size=enc_sizes[nl], **kw)(
+                x, time
+            )
+
+        def expansion(z, level):
+            """(I) block: resize skip at encoder level → decoder size
+            (`ED_expansion`, concat wiring `:870-875`)."""
+            return CNOBlock(
+                out_channels=enc_feat[level], in_size=enc_sizes[level],
+                out_size=dec_sizes[nl - level], **kw,
+            )(z, time)
+
+        for i in range(nl):
+            if i == 0:
+                x = expansion(x, nl)
+            else:
+                x = jnp.concatenate([x, expansion(skips[-i], nl - i)], axis=-1)
+            if self.add_inv:
+                x = CNOBlock(
+                    out_channels=inv_feat[i], in_size=dec_sizes[i],
+                    out_size=dec_sizes[i], **kw,
+                )(x, time)
+            x = CNOBlock(
+                out_channels=dec_feat_out[i], in_size=dec_sizes[i],
+                out_size=dec_sizes[i + 1], **kw,
+            )(x, time)
+
+        x = jnp.concatenate([x, expansion(skips[0], 0)], axis=-1)
+        x = LiftProjectBlock(
+            out_channels=self.out_dim, in_size=dec_sizes[nl],
+            out_size=out_size, latent_dim=self.latent_lift_proj_dim,
+        )(x, time)
+        return x

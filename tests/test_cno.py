@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pregen_pde_tpu.models.cno import (
+    CNO,
+    AntiAliasedLReLu,
+    CNOBlock,
+    FILM,
+    ResidualBlock,
+)
+
+
+def test_antialiased_lrelu_same_size():
+    """Constant-size activation: 2× up, lrelu, 2× down; layer arithmetic from
+    the reference (`filtered_networks.py:254-262`)."""
+    m = AntiAliasedLReLu(
+        channels=4, in_size=16, out_size=16,
+        in_cutoff=16 / 2.0001, out_cutoff=16 / 2.0001,
+        in_half_width=0.8 * 16 - 16 / 2.0001,
+        out_half_width=0.8 * 16 - 16 / 2.0001,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 4)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 16, 16, 4)
+    # an antialiased lrelu of a constant positive field ≈ √2-scaled identity
+    # away from the (zero-padded) borders
+    smooth = jnp.ones((1, 16, 16, 4), jnp.float32)
+    ys = np.asarray(m.apply(params, smooth))
+    np.testing.assert_allclose(ys[:, 6:10, 6:10, :], np.sqrt(2), rtol=0.02)
+
+
+def test_antialiased_lrelu_resampling():
+    """Downsampling block 16→8: up ×2 then down ×4."""
+    m = AntiAliasedLReLu(
+        channels=2, in_size=16, out_size=8,
+        in_cutoff=16 / 2.0001, out_cutoff=8 / 2.0001,
+        in_half_width=0.8 * 16 - 16 / 2.0001,
+        out_half_width=0.8 * 8 - 8 / 2.0001,
+    )
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 16, 16, 2)), jnp.float32)
+    y = m.apply(m.init(jax.random.key(0), x), x)
+    assert y.shape == (2, 8, 8, 2)
+    # upsampling block 8→16
+    m2 = AntiAliasedLReLu(
+        channels=2, in_size=8, out_size=16,
+        in_cutoff=8 / 2.0001, out_cutoff=16 / 2.0001,
+        in_half_width=0.8 * 8 - 8 / 2.0001,
+        out_half_width=0.8 * 16 - 16 / 2.0001,
+    )
+    x2 = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8, 8, 2)), jnp.float32)
+    y2 = m2.apply(m2.init(jax.random.key(0), x2), x2)
+    assert y2.shape == (2, 16, 16, 2)
+
+
+def test_film_identity_at_init():
+    m = FILM(channels=4, norm="none")
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+    params = m.init(jax.random.key(0), x, t)
+    y = m.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_cno_block_and_residual():
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 16, 16, 4)), jnp.float32)
+    t = jnp.asarray([0.1, 0.5], jnp.float32)
+    blk = CNOBlock(out_channels=8, in_size=16, out_size=8)
+    y = blk.apply(blk.init(jax.random.key(0), x, t), x, t)
+    assert y.shape == (2, 8, 8, 8)
+    res = ResidualBlock(channels=4, size=16)
+    y2 = res.apply(res.init(jax.random.key(0), x, t), x, t)
+    assert y2.shape == x.shape
+
+
+def test_cno_full_forward_and_grad():
+    model = CNO(in_size=32, out_dim=3, n_layers=2, n_res=1, n_res_neck=1,
+                channel_multiplier=8, latent_lift_proj_dim=8)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 32, 32, 7)), jnp.float32)
+    t = jnp.asarray([0.2, 0.4], jnp.float32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    y = model.apply({"params": params}, x, t)
+    assert y.shape == (2, 32, 32, 3)
+
+    def loss(p):
+        return jnp.mean(model.apply({"params": p}, x, t) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # time conditioning actually reaches the output
+    y_t2 = model.apply({"params": params}, x, t + 0.3)
+    # FILM is zero-init → identical at init; after perturbing a FILM param it must differ
+    # (cheap check: perturb all Dense kernels named in FILM scopes)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    bumped = {
+        k: (v + 0.05 if any("FILM" in p for p in k) and k[-1] == "kernel" else v)
+        for k, v in flat.items()
+    }
+    params2 = flax.traverse_util.unflatten_dict(bumped)
+    y_b1 = model.apply({"params": params2}, x, t)
+    y_b2 = model.apply({"params": params2}, x, t + 0.3)
+    assert float(jnp.abs(y_b1 - y_b2).max()) > 1e-6
+
+
+def test_cno_attention_bottleneck():
+    model = CNO(in_size=16, out_dim=2, n_layers=2, n_res=1, n_res_neck=1,
+                channel_multiplier=8, use_attention=True)
+    x = jnp.ones((1, 16, 16, 4), jnp.float32)
+    t = jnp.ones((1,), jnp.float32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    y = model.apply({"params": params}, x, t)
+    assert y.shape == (1, 16, 16, 2)

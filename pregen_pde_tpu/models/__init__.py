@@ -1,5 +1,6 @@
 from pregen_pde_tpu.models.cno import CNO
 from pregen_pde_tpu.models.ffno import FFNO2d
 from pregen_pde_tpu.models.fno import FNO2d
+from pregen_pde_tpu.models.scot import MODEL_SIZES, ScOT, ScOTConfig
 
-__all__ = ["CNO", "FFNO2d", "FNO2d"]
+__all__ = ["CNO", "FFNO2d", "FNO2d", "MODEL_SIZES", "ScOT", "ScOTConfig"]

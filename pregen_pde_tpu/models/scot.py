@@ -1,0 +1,399 @@
+"""scOT / Poseidon — Swin-V2 U-shaped operator transformer (flax.linen, NHWC).
+
+Architecture mirrors the reference `ScOT` (`Poseidon_mixing_Exp/scOT/model.py`,
+1460 lines on top of HF `transformers` Swin-V2 internals), re-implemented
+transformers-free:
+
+- conv patchify (`ScOTPatchEmbeddings :219-283`) + norm (+optional abs-pos);
+- encoder of Swin-V2 stages with `ScOTPatchMerging` downsample (`:600-662`),
+  skips collected before each downsample;
+- per-scale skip paths through ConvNeXt residual blocks (`:133-187`,
+  wiring `:1216-1230,1338-1343`);
+- decoder of Swin-V2 stages with `ScOTPatchUnmerging` pixel-shuffle upsample
+  (`:665-710`) and ADDITIVE skip connections (`:1125-1127`);
+- `ScOTPatchRecovery`: ConvTranspose + bias-free 5×5 mixup conv (Pangu-style,
+  `:534-597`);
+- lead-time conditioning: every LayerNorm replaced by `ConditionalLayerNorm`
+  whose scale/bias are Linear(1→dim) of time (`:113-130`);
+- Swin-V2 attention: cosine similarity with per-head learnable logit scale and
+  a continuous log-spaced relative-position-bias MLP (the HF `Swinv2Attention`
+  the reference imports at `model.py:5-17`);
+- optional `learn_residual` (prediction += input physical channels) and
+  FFT-based resolution transfer (`_downsample/_upsample :1243-1266` — exposed
+  here as `fft_resize`).
+
+TPU-first notes: tokens stay in NHWC image layout (window partition is a pure
+reshape, lane dim = channels); attention einsums hit the MXU; shapes are fully
+static per stage — window/shift sizes resolve at trace time.
+
+Init deviation (documented): the reference's ConditionalLayerNorm uses default
+torch Linear init for the time→scale/bias maps, so its LN starts randomly
+scaled; we zero-init the kernels (scale bias=1, bias bias=0) so conditioning
+starts as a standard LayerNorm — strictly more stable, same capacity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ScOTConfig:
+    """Mirrors reference `ScOTConfig` (`scOT/model.py:36-102`); model scales
+    T/S/B/L = embed 48/48/96/192, depths [4]*4 or [8]*4 (`scOT/train.py:35-72`)."""
+
+    image_size: int = 128
+    patch_size: int = 4
+    num_channels: int = 6
+    num_out_channels: int = 3
+    embed_dim: int = 48
+    depths: Sequence[int] = (4, 4, 4, 4)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    skip_connections: Sequence[int] = (2, 2, 2, 0)  # ConvNeXt depth per scale
+    window_size: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_conditioning: bool = True
+    learn_residual: bool = False
+    use_absolute_embeddings: bool = False
+    layer_norm_eps: float = 1e-5
+
+
+MODEL_SIZES = {
+    # `scOT/train.py:35-72` MODEL_MAP
+    "T": dict(embed_dim=48, depths=(4, 4, 4, 4)),
+    "S": dict(embed_dim=48, depths=(8, 8, 8, 8)),
+    "B": dict(embed_dim=96, depths=(8, 8, 8, 8)),
+    "L": dict(embed_dim=192, depths=(8, 8, 8, 8)),
+}
+
+
+class CondLayerNorm(nn.Module):
+    """LayerNorm whose affine params are Linear(1→dim) of the lead time
+    (`ConditionalLayerNorm`, `scOT/model.py:113-130`). With
+    ``use_conditioning=False`` this is a plain learnable LayerNorm."""
+
+    dim: int
+    use_conditioning: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(x * x, axis=-1, keepdims=True) - mean**2
+        xn = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if not self.use_conditioning or time is None:
+            scale = self.param("scale", nn.initializers.ones, (self.dim,))
+            bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+            return xn * scale + bias
+        t = time.reshape(-1, 1).astype(x.dtype)
+        zeros = nn.initializers.zeros
+        w = nn.Dense(self.dim, kernel_init=zeros,
+                     bias_init=nn.initializers.ones, name="time_scale")(t)
+        b = nn.Dense(self.dim, kernel_init=zeros, bias_init=zeros,
+                     name="time_bias")(t)
+        # broadcast (B, dim) over any number of middle axes
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.dim,)
+        return xn * w.reshape(shape) + b.reshape(shape)
+
+
+class WindowAttentionV2(nn.Module):
+    """Swin-V2 window attention: cosine similarity × clamped learnable per-head
+    logit scale, continuous relative-position bias from a log-CPB MLP."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+        # x: (num_windows*B, N, C) with N = window²
+        nb, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        ws = self.window_size
+
+        q = nn.Dense(c, use_bias=self.qkv_bias, name="query")(x)
+        k = nn.Dense(c, use_bias=False, name="key")(x)
+        v = nn.Dense(c, use_bias=self.qkv_bias, name="value")(x)
+        q = q.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
+
+        # cosine attention
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
+        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, float(np.log(10.0))),
+            (h, 1, 1),
+        )
+        scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
+        attn = attn * scale
+
+        # continuous relative position bias (log-spaced coords → MLP → 16σ)
+        coords = np.arange(-(ws - 1), ws, dtype=np.float32)
+        table = np.stack(np.meshgrid(coords, coords, indexing="ij"), -1)  # (2w-1,2w-1,2)
+        table = table / max(ws - 1, 1) * 8.0
+        table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+        table = jnp.asarray(table.reshape(-1, 2))
+        cpb = nn.Dense(512, name="cpb_mlp1")(table)
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(h, use_bias=False, name="cpb_mlp2")(cpb)  # ((2w-1)², h)
+
+        ci = np.stack(
+            np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"), 0
+        ).reshape(2, -1)
+        rel = ci[:, :, None] - ci[:, None, :]  # (2, N, N)
+        rel = rel + (ws - 1)
+        rel_index = (rel[0] * (2 * ws - 1) + rel[1]).reshape(-1)
+        bias = cpb[jnp.asarray(rel_index)].reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + 16.0 * jax.nn.sigmoid(bias)[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
+            attn = attn.reshape(nb, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+def _window_partition(x: jax.Array, ws: int) -> jax.Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def _window_reverse(wins: jax.Array, ws: int, h: int, w: int) -> jax.Array:
+    b = wins.shape[0] // ((h // ws) * (w // ws))
+    x = wins.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Additive (-100/0) mask for shifted windows (`scOT/model.py:411-439`)."""
+    img = np.zeros((h, w), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wss in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wss] = cnt
+            cnt += 1
+    m = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class SwinLayerV2(nn.Module):
+    """One Swin-V2 block in NHWC: windowed attention (+cyclic shift) with
+    post-norm residuals (`ScOTLayer`, `scOT/model.py:343-531`)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: bool
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_conditioning: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: jax.Array | None) -> jax.Array:
+        b, h, w, c = x.shape
+        ws = min(self.window_size, h, w)
+        shift = ws // 2 if (self.shift and h > ws) else 0
+
+        shortcut = x
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+        else:
+            mask = None
+        wins = _window_partition(x, ws)
+        wins = WindowAttentionV2(
+            dim=c, num_heads=self.num_heads, window_size=ws,
+            qkv_bias=self.qkv_bias, name="attention",
+        )(wins, mask)
+        x = _window_reverse(wins, ws, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+
+        x = CondLayerNorm(c, self.use_conditioning, name="norm1")(x, time)
+        x = shortcut + x
+
+        y = nn.Dense(int(c * self.mlp_ratio), name="mlp1")(x)
+        y = nn.gelu(y)
+        y = nn.Dense(c, name="mlp2")(y)
+        y = CondLayerNorm(c, self.use_conditioning, name="norm2")(y, time)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    """2×2 space-to-channel concat → Linear(4C→2C) → norm
+    (`ScOTPatchMerging`, `scOT/model.py:600-662`)."""
+
+    dim: int
+    use_conditioning: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time) -> jax.Array:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        # order: (0::2,0::2), (1::2,0::2), (0::2,1::2), (1::2,1::2)
+        x = jnp.concatenate(
+            [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
+            axis=-1,
+        )
+        x = nn.Dense(2 * c, use_bias=False, name="reduction")(x)
+        return CondLayerNorm(2 * c, self.use_conditioning, name="norm")(x, time)
+
+
+class PatchUnmerging(nn.Module):
+    """Linear(C→2C) → pixel-shuffle ×2 → norm → bias-free mixup Linear
+    (`ScOTPatchUnmerging`, `scOT/model.py:665-710`)."""
+
+    dim: int
+    use_conditioning: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time) -> jax.Array:
+        b, h, w, c = x.shape
+        x = nn.Dense(2 * c, use_bias=False, name="upsample")(x)
+        x = x.reshape(b, h, w, 2, 2, c // 2)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c // 2)
+        x = CondLayerNorm(c // 2, self.use_conditioning, name="norm")(x, time)
+        return nn.Dense(c // 2, use_bias=False, name="mixup")(x)
+
+
+class ConvNeXtBlock(nn.Module):
+    """Skip-path residual block (`scOT/model.py:133-187`): 7×7 depthwise conv
+    → norm → Linear(4×) → GELU → Linear → layer-scale → +residual."""
+
+    dim: int
+    use_conditioning: bool = True
+    layer_scale_init: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time) -> jax.Array:  # NHWC
+        inp = x
+        x = nn.Conv(self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
+                    name="dwconv")(x)
+        x = CondLayerNorm(self.dim, self.use_conditioning, name="norm")(x, time)
+        x = nn.Dense(4 * self.dim, name="pwconv1")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.dim, name="pwconv2")(x)
+        gamma = self.param(
+            "layer_scale",
+            lambda key, shape: jnp.full(shape, self.layer_scale_init),
+            (self.dim,),
+        )
+        return inp + gamma * x
+
+
+def fft_resize(image: jax.Array, target_size: int) -> jax.Array:
+    """FFT-based up/downsampling of square NHWC images
+    (reference `_downsample/_upsample`, `scOT/model.py:1243-1266`)."""
+    size = image.shape[1]
+    if size == target_size:
+        return image
+    x_hat = jnp.fft.fft2(image, axes=(1, 2), norm="forward")
+    if target_size < size:
+        freqs = np.fft.fftfreq(size, d=1.0 / size)
+        sel = np.nonzero((freqs >= -target_size / 2) & (freqs <= target_size / 2 - 1))[0]
+        x_hat = x_hat[:, sel][:, :, sel]
+        return jnp.fft.ifft2(x_hat, axes=(1, 2), norm="forward").real
+    pad = (target_size - size) // 2
+    x_hat = jnp.fft.fftshift(x_hat, axes=(1, 2))
+    x_hat = jnp.pad(x_hat, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    x_hat = jnp.fft.ifftshift(x_hat, axes=(1, 2))
+    return jnp.fft.ifft2(x_hat, axes=(1, 2), norm="forward").real
+
+
+class ScOT(nn.Module):
+    """Input (B, S, S, num_channels) + lead time (B,) →
+    (B, S, S, num_out_channels); inputs at other resolutions are FFT-resized
+    to `config.image_size` and back (`scOT/model.py:1310-1316,1366-1371`)."""
+
+    config: ScOTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
+        cfg = self.config
+        in_size = x.shape[1]
+        pixel_input = x
+        if in_size != cfg.image_size:
+            x = fft_resize(x, cfg.image_size)
+
+        uc = cfg.use_conditioning
+        L = len(cfg.depths)
+        grid = cfg.image_size // cfg.patch_size
+
+        # patchify
+        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), name="patch_embed")(x)
+        x = CondLayerNorm(cfg.embed_dim, uc, name="embed_norm")(x, time)
+        if cfg.use_absolute_embeddings:
+            pos = self.param("pos_embed", nn.initializers.zeros,
+                             (1, grid, grid, cfg.embed_dim))
+            x = x + pos
+
+        # encoder: collect skips BEFORE each downsample
+        skips = []
+        for i in range(L):
+            dim = cfg.embed_dim * 2**i
+            for d in range(cfg.depths[i]):
+                x = SwinLayerV2(
+                    dim=dim, num_heads=cfg.num_heads[i],
+                    window_size=cfg.window_size, shift=(d % 2 == 1),
+                    mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                    use_conditioning=uc, name=f"enc_{i}_blk_{d}",
+                )(x, time)
+            skips.append(x)
+            if i < L - 1:
+                x = PatchMerging(dim, uc, name=f"enc_{i}_merge")(x, time)
+
+        # ConvNeXt residual skip paths (depth per scale; 0 → identity)
+        for i in range(L):
+            for d in range(cfg.skip_connections[i]):
+                skips[i] = ConvNeXtBlock(
+                    cfg.embed_dim * 2**i, uc, name=f"skip_{i}_blk_{d}",
+                )(skips[i], time)
+
+        # decoder: deepest → shallowest, additive skips, unmerge after blocks
+        x = skips[-1]
+        for j, i in enumerate(reversed(range(L))):
+            dim = cfg.embed_dim * 2**i
+            if j != 0:
+                x = x + skips[i]
+            for d in range(cfg.depths[i]):
+                x = SwinLayerV2(
+                    dim=dim, num_heads=cfg.num_heads[i],
+                    window_size=cfg.window_size, shift=(d % 2 == 1),
+                    mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                    use_conditioning=uc, name=f"dec_{i}_blk_{d}",
+                )(x, time)
+            if i > 0:
+                x = PatchUnmerging(dim, uc, name=f"dec_{i}_unmerge")(x, time)
+
+        # patch recovery: ConvTranspose + bias-free 5×5 mixup conv
+        x = nn.ConvTranspose(
+            cfg.num_out_channels, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), name="patch_recovery",
+        )(x)
+        x = nn.Conv(cfg.num_out_channels, (5, 5), padding="SAME", use_bias=False,
+                    name="recovery_mixup")(x)
+
+        if cfg.learn_residual:
+            x = x + fft_resize(pixel_input[..., : cfg.num_out_channels],
+                               cfg.image_size)
+        if in_size != cfg.image_size:
+            x = fft_resize(x, in_size)
+        return x

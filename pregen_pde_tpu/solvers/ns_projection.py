@@ -1,0 +1,242 @@
+"""Masked-geometry incompressible Navier-Stokes on a regular grid —
+the TPU-native replacement for the reference's body-fitted OpenFOAM FPO/LDC
+pipelines (`dataset_gen/NS_datasets/{FPO_cylinder,LDC}/`).
+
+Where the reference meshes each random geometry with `blockMesh` and runs
+`icoFoam` per trajectory (`Hole_Location/main.py:590-876`,
+`Regular/main.py:129-151`), here obstacles live on the fixed grid as a
+Brinkman volume-penalization mask χ (1 = solid):
+
+    u_t + (u·∇)u = −∇p + ν Δu − (χ/η) u,     ∇·u = 0
+
+Chorin projection each step: explicit advection (first-order upwind — the
+regular-grid counterpart of icoFoam's `linearUpwind` divScheme,
+`fvSchemes:17-40`) + central diffusion → implicit penalization
+u/(1+dt·χ/η) → boundary conditions → pressure Poisson (matrix-free Jacobi-CG,
+static trip count) → velocity correction.
+
+Domains (reference BCs):
+- "channel" (FPO): parabolic inlet left with Umax = Re·ν/L
+  (`Regular/main.py:389-408,491-518`), zero-gradient outflow right, no-slip
+  top/bottom walls + holes (`Regular/Design_Point_0/0/U:12-38`);
+- "cavity" (LDC): moving lid top (Umax), no-slip elsewhere
+  (`LDC/.../0/U:21-36`).
+
+Correctness here is *validated* (divergence, mass conservation, Ghia-style
+cavity profiles), not bit-matched to the FVM solver — SURVEY.md §7.3(2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionConfig:
+    resolution: int = 128
+    length: float = 2.0  # reference L = 2 m (`Regular/main.py:981-982`)
+    viscosity: float = 1.5e-5  # reference ν (`transportProperties`)
+    domain: str = "channel"  # "channel" | "cavity"
+    u_max: float = 1.0  # inlet peak / lid speed (set from Re upstream)
+    dt: float = 1e-3
+    t_end: float = 1.0
+    n_snapshots: int = 20
+    penalization_eta: float = 1e-3  # Brinkman permeability
+    cg_iters: int = 200
+
+
+def parabolic_inlet(n: int, u_max: float) -> np.ndarray:
+    """u(y) = 4·Umax·y(H−y)/H² on cell centres (`Regular/main.py:389-408`)."""
+    y = (np.arange(n) + 0.5) / n
+    return (4.0 * u_max * y * (1.0 - y)).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionSolver:
+    """State: (u, v) on an (n, n) collocated grid, axis 0 = y, axis 1 = x."""
+
+    cfg: ProjectionConfig
+
+    # -- BCs -----------------------------------------------------------------
+
+    def apply_velocity_bc(self, u: jax.Array, v: jax.Array):
+        cfg = self.cfg
+        n = cfg.resolution
+        if cfg.domain == "channel":
+            inlet = jnp.asarray(parabolic_inlet(n, cfg.u_max), u.dtype)
+            u = u.at[:, 0].set(inlet)  # inlet (left)
+            v = v.at[:, 0].set(0.0)
+            u = u.at[:, -1].set(u[:, -2])  # outflow: zero gradient
+            v = v.at[:, -1].set(v[:, -2])
+            u = u.at[0, :].set(0.0)  # bottom wall
+            v = v.at[0, :].set(0.0)
+            u = u.at[-1, :].set(0.0)  # top wall
+            v = v.at[-1, :].set(0.0)
+        elif cfg.domain == "cavity":
+            u = u.at[0, :].set(0.0)
+            v = v.at[0, :].set(0.0)
+            u = u.at[:, 0].set(0.0)
+            v = v.at[:, 0].set(0.0)
+            u = u.at[:, -1].set(0.0)
+            v = v.at[:, -1].set(0.0)
+            u = u.at[-1, :].set(cfg.u_max)  # moving lid (top row)
+            v = v.at[-1, :].set(0.0)
+        else:
+            raise ValueError(cfg.domain)
+        return u, v
+
+    # -- spatial operators: NON-periodic, edge-padded shifts (a periodic roll
+    # would wrap the lid/inlet values to the opposite wall and blow up) -------
+
+    @staticmethod
+    def _shift(q: jax.Array, axis: int, direction: int) -> jax.Array:
+        """Neighbor value along axis with edge replication at the boundary."""
+        if axis == 0:
+            if direction > 0:
+                return jnp.pad(q, ((0, 1), (0, 0)), mode="edge")[1:, :]
+            return jnp.pad(q, ((1, 0), (0, 0)), mode="edge")[:-1, :]
+        if direction > 0:
+            return jnp.pad(q, ((0, 0), (0, 1)), mode="edge")[:, 1:]
+        return jnp.pad(q, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+
+    def _grad_upwind(self, q: jax.Array, vel: jax.Array, axis: int, dx: float):
+        """First-order upwind derivative of q along `axis` w.r.t. carrier vel."""
+        fwd = (self._shift(q, axis, +1) - q) / dx
+        bwd = (q - self._shift(q, axis, -1)) / dx
+        return jnp.where(vel > 0, bwd, fwd)
+
+    def _laplacian(self, q: jax.Array, dx: float):
+        return (
+            self._shift(q, 0, +1) + self._shift(q, 0, -1)
+            + self._shift(q, 1, +1) + self._shift(q, 1, -1) - 4.0 * q
+        ) / (dx * dx)
+
+    def predictor(self, u, v, dx, dt):
+        cfg = self.cfg
+        adv_u = u * self._grad_upwind(u, u, 1, dx) + v * self._grad_upwind(u, v, 0, dx)
+        adv_v = u * self._grad_upwind(v, u, 1, dx) + v * self._grad_upwind(v, v, 0, dx)
+        u_star = u + dt * (-adv_u + cfg.viscosity * self._laplacian(u, dx))
+        v_star = v + dt * (-adv_v + cfg.viscosity * self._laplacian(v, dx))
+        return u_star, v_star
+
+    # -- pressure Poisson: adjoint-consistent (D, G) pair ----------------------
+    # G = forward difference, D = backward difference. A = −(D∘G) is the exact
+    # 5-point Laplacian, so the collocated checkerboard mode is NOT in its
+    # null space, and the correction u ← u* − dt·G(p) makes D(u) vanish
+    # exactly (up to CG tolerance) — a discrete MAC-like projection.
+
+    def _Gx(self, p: jax.Array, dx: float) -> jax.Array:
+        g = (self._shift(p, 1, +1) - p) / dx  # edge pad ⇒ 0 at last col (Neumann)
+        if self.cfg.domain == "channel":
+            g = g.at[:, -1].set(-p[:, -1] / dx)  # outlet ghost p = 0
+        return g
+
+    def _Gy(self, p: jax.Array, dx: float) -> jax.Array:
+        return (self._shift(p, 0, +1) - p) / dx
+
+    def _Dx(self, u: jax.Array, dx: float) -> jax.Array:
+        return (u - self._shift(u, 1, -1)) / dx  # edge pad ⇒ 0 at first col
+
+    def _Dy(self, v: jax.Array, dx: float) -> jax.Array:
+        return (v - self._shift(v, 0, -1)) / dx
+
+    def _poisson_A(self, p: jax.Array, dx: float):
+        return -(self._Dx(self._Gx(p, dx), dx) + self._Dy(self._Gy(p, dx), dx))
+
+    def solve_pressure(self, rhs: jax.Array, dx: float) -> jax.Array:
+        cfg = self.cfg
+        if cfg.domain == "cavity":
+            rhs = rhs - jnp.mean(rhs)  # pure-Neumann compatibility
+
+        def A(p):
+            return self._poisson_A(p, dx)
+
+        minv = dx * dx / 4.0
+
+        def body(_, state):
+            p, r, z, d, rz = state
+            Ad = A(d)
+            alpha = rz / (jnp.vdot(d, Ad) + 1e-30)
+            p = p + alpha * d
+            r = r - alpha * Ad
+            z = minv * r
+            rz_new = jnp.vdot(r, z)
+            beta = rz_new / (rz + 1e-30)
+            d = z + beta * d
+            return (p, r, z, d, rz_new)
+
+        p0 = jnp.zeros_like(rhs)
+        r0 = rhs
+        z0 = minv * r0
+        p, *_ = jax.lax.fori_loop(
+            0, cfg.cg_iters, body, (p0, r0, z0, z0, jnp.vdot(r0, z0))
+        )
+        if cfg.domain == "cavity":
+            p = p - jnp.mean(p)
+        return p
+
+    def divergence(self, u, v, dx):
+        """The discrete divergence the projection enforces (D-pair)."""
+        return self._Dx(u, dx) + self._Dy(v, dx)
+
+    # -- full step -------------------------------------------------------------
+
+    def step(self, u, v, mask, dx, dt):
+        cfg = self.cfg
+        u_star, v_star = self.predictor(u, v, dx, dt)
+        # implicit Brinkman penalization
+        pen = 1.0 / (1.0 + dt * mask / cfg.penalization_eta)
+        u_star = u_star * pen
+        v_star = v_star * pen
+        u_star, v_star = self.apply_velocity_bc(u_star, v_star)
+
+        rhs = -(self._Dx(u_star, dx) + self._Dy(v_star, dx)) / dt
+        p = self.solve_pressure(rhs, dx)
+
+        u = u_star - dt * self._Gx(p, dx)
+        v = v_star - dt * self._Gy(p, dx)
+        u, v = self.apply_velocity_bc(u, v)
+        u = u * pen
+        v = v * pen
+        return u, v, p
+
+    def make_trajectory_fn(self):
+        """traj(mask) → dict of snapshot stacks (u, v, p), each
+        (n_snapshots+1, n, n); starts from rest (reference cases start from
+        a zero/uniform internal field)."""
+        cfg = self.cfg
+        n = cfg.resolution
+        dx = cfg.length / n
+        total = int(round(cfg.t_end / cfg.dt))
+        inner = max(total // cfg.n_snapshots, 1)
+
+        def traj(mask: jax.Array):
+            dt = jnp.asarray(cfg.dt, jnp.float32)
+            u = jnp.zeros((n, n), jnp.float32)
+            v = jnp.zeros((n, n), jnp.float32)
+            u, v = self.apply_velocity_bc(u, v)
+            p = jnp.zeros((n, n), jnp.float32)
+
+            def snap(carry, _):
+                u, v, p = carry
+
+                def one(i, s):
+                    return self.step(s[0], s[1], mask, dx, dt)
+
+                u, v, p = jax.lax.fori_loop(0, inner, one, (u, v, p))
+                return (u, v, p), jnp.stack([u, v, p], axis=-1)
+
+            init_frame = jnp.stack([u, v, p], axis=-1)
+            (_, _, _), frames = jax.lax.scan(
+                snap, (u, v, p), None, length=cfg.n_snapshots
+            )
+            return jnp.concatenate([init_frame[None], frames], axis=0)
+
+        return traj
+
+    def make_batched_trajectory_fn(self):
+        return jax.vmap(self.make_trajectory_fn())

@@ -1,0 +1,127 @@
+"""Masked-geometry NS dataset pipelines — the four reference generators:
+
+| pipeline          | reference                                            | difficulty axis |
+|-------------------|------------------------------------------------------|-----------------|
+| `fpo_regular`     | `NS_datasets/FPO_cylinder/Regular/main.py`           | physics (Re)    |
+| `fpo_hole`        | `NS_datasets/FPO_cylinder/Hole_Location/main.py`     | geometry (1 hole placement) |
+| `fpo_multi_hole`  | `NS_datasets/FPO_cylinder/Multiple_Hole/main.py`     | geometry (2-10 holes) |
+| `ldc_regular`     | `NS_datasets/LDC/Regular/main.py`                    | physics (Re)    |
+
+Per trajectory (mirroring the reference driver loop, `Regular/main.py:1048-1124`):
+Re ~ clip(N(5000, 2000²)) → Umax = Re·ν/L (`:491-518`) → horizon from
+`RE_TIME_SCHEDULE` (`:969-998`, bucketed for jit) → masked projection solve →
+pack the (N, T, H, W, 6) contract with mask + SDF channels (`:811-892`).
+
+Instead of 128 sequential OpenFOAM subprocesses, each horizon bucket runs as
+one `vmap`-batched jitted program over (mask, u_max) pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pregen_pde_tpu.fields.geometry import (
+    disk_mask,
+    no_hole_mask,
+    sample_multi_holes,
+    sample_single_hole,
+    sdf_from_mask,
+)
+from pregen_pde_tpu.solvers import schedules
+from pregen_pde_tpu.solvers.ns_projection import ProjectionConfig, ProjectionSolver
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskedNSConfig:
+    pipeline: str = "fpo_regular"  # fpo_regular | fpo_hole | fpo_multi_hole | ldc_regular
+    resolution: int = 128
+    length: float = 2.0
+    viscosity: float = 1.5e-5  # reference ν (`transportProperties`)
+    dt: float = 0.2  # reference deltaT (`controlDict:25-31`)
+    n_snapshots: int = 20  # reference 20 writes (`update_controlDict`)
+    re_mean: float = 5000.0
+    re_std: float = 2000.0
+    time_scale: float = 1.0  # multiply schedule horizons (tests use << 1)
+    penalization_eta: float = 1e-3
+    cg_iters: int = 150
+    batch_size: int = 128
+
+
+def sample_masks(key: jax.Array, cfg: MaskedNSConfig, n: int) -> jax.Array:
+    """(n, res, res) geometry masks for the pipeline."""
+    res = cfg.resolution
+    if cfg.pipeline == "fpo_regular":
+        # fixed central cylinder (the reference's body-fitted cylinder becomes
+        # a penalized disk of diameter res/8 at x=res/4)
+        m = disk_mask(res, res / 2.0, res / 4.0, res / 16.0)
+        return jnp.broadcast_to(m[None], (n, res, res))
+    if cfg.pipeline == "fpo_hole":
+        keys = jax.random.split(key, n)
+        return jax.vmap(lambda k: sample_single_hole(k, res))(keys)
+    if cfg.pipeline == "fpo_multi_hole":
+        keys = jax.random.split(key, n)
+        return jax.vmap(lambda k: sample_multi_holes(k, res)[0])(keys)
+    if cfg.pipeline == "ldc_regular":
+        return jnp.broadcast_to(no_hole_mask(res)[None], (n, res, res))
+    raise ValueError(cfg.pipeline)
+
+
+def _solver_for(cfg: MaskedNSConfig, u_max: float, t_end: float) -> ProjectionSolver:
+    domain = "cavity" if cfg.pipeline == "ldc_regular" else "channel"
+    return ProjectionSolver(
+        ProjectionConfig(
+            resolution=cfg.resolution,
+            length=cfg.length,
+            viscosity=cfg.viscosity,
+            domain=domain,
+            u_max=u_max,
+            dt=cfg.dt,
+            t_end=t_end,
+            n_snapshots=cfg.n_snapshots,
+            penalization_eta=cfg.penalization_eta,
+            cg_iters=cfg.cg_iters,
+        )
+    )
+
+
+def generate_masked_ns_batch(
+    key: jax.Array, cfg: MaskedNSConfig, n_traj: int | None = None
+) -> np.ndarray:
+    """→ float32 (N, n_snapshots+1, res, res, 6) in the data contract."""
+    n_traj = n_traj or cfg.batch_size
+    k_re, k_geo = jax.random.split(key)
+    re = schedules.sample_reynolds(k_re, n_traj, cfg.re_mean, cfg.re_std)
+    re_np = np.asarray(re)
+    # Umax = Re·ν/L (`Regular/main.py:491-518`)
+    u_max_np = re_np * cfg.viscosity / cfg.length
+    end_t_np = np.asarray(schedules.end_time_from_re(re)) * cfg.time_scale
+    re_norm_np = np.asarray(schedules.normalize_re(re))
+
+    masks = sample_masks(k_geo, cfg, n_traj)
+    sdfs = jax.vmap(sdf_from_mask)(masks)
+    masks_np = np.asarray(masks)
+    sdfs_np = np.asarray(sdfs)
+
+    res = cfg.resolution
+    out = np.empty((n_traj, cfg.n_snapshots + 1, res, res, 6), np.float32)
+
+    # bucket by quantized horizon; u_max rides along as a traced vmap axis
+    for horizon in np.unique(end_t_np):
+        idx = np.nonzero(end_t_np == horizon)[0]
+        solver = _solver_for(cfg, 1.0, float(horizon))
+        traj = jax.jit(jax.vmap(solver.make_trajectory_fn()))
+        frames = traj(
+            jnp.asarray(masks_np[idx]), jnp.asarray(u_max_np[idx], jnp.float32)
+        )
+        frames = np.asarray(jax.device_get(frames))  # (b, T, res, res, 3)
+        b, t = frames.shape[:2]
+        out[idx, :, :, :, 0:3] = frames
+        out[idx, :, :, :, 3] = re_norm_np[idx, None, None, None]
+        out[idx, :, :, :, 4] = masks_np[idx, None, :, :]
+        out[idx, :, :, :, 5] = sdfs_np[idx, None, :, :]
+    return out
+

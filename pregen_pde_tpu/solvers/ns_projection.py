@@ -63,11 +63,15 @@ class ProjectionSolver:
 
     # -- BCs -----------------------------------------------------------------
 
-    def apply_velocity_bc(self, u: jax.Array, v: jax.Array):
+    def apply_velocity_bc(self, u: jax.Array, v: jax.Array, u_max=None):
+        """Impose BCs; ``u_max`` (traced scalar) overrides cfg.u_max, making
+        the inlet/lid speed a per-trajectory vmap axis (physics difficulty)."""
         cfg = self.cfg
         n = cfg.resolution
+        if u_max is None:
+            u_max = cfg.u_max
         if cfg.domain == "channel":
-            inlet = jnp.asarray(parabolic_inlet(n, cfg.u_max), u.dtype)
+            inlet = jnp.asarray(parabolic_inlet(n, 1.0), u.dtype) * u_max
             u = u.at[:, 0].set(inlet)  # inlet (left)
             v = v.at[:, 0].set(0.0)
             u = u.at[:, -1].set(u[:, -2])  # outflow: zero gradient
@@ -83,7 +87,7 @@ class ProjectionSolver:
             v = v.at[:, 0].set(0.0)
             u = u.at[:, -1].set(0.0)
             v = v.at[:, -1].set(0.0)
-            u = u.at[-1, :].set(cfg.u_max)  # moving lid (top row)
+            u = u.at[-1, :].set(jnp.broadcast_to(jnp.asarray(u_max, u.dtype), (n,)))  # moving lid
             v = v.at[-1, :].set(0.0)
         else:
             raise ValueError(cfg.domain)
@@ -185,21 +189,21 @@ class ProjectionSolver:
 
     # -- full step -------------------------------------------------------------
 
-    def step(self, u, v, mask, dx, dt):
+    def step(self, u, v, mask, dx, dt, u_max=None):
         cfg = self.cfg
         u_star, v_star = self.predictor(u, v, dx, dt)
         # implicit Brinkman penalization
         pen = 1.0 / (1.0 + dt * mask / cfg.penalization_eta)
         u_star = u_star * pen
         v_star = v_star * pen
-        u_star, v_star = self.apply_velocity_bc(u_star, v_star)
+        u_star, v_star = self.apply_velocity_bc(u_star, v_star, u_max)
 
         rhs = -(self._Dx(u_star, dx) + self._Dy(v_star, dx)) / dt
         p = self.solve_pressure(rhs, dx)
 
         u = u_star - dt * self._Gx(p, dx)
         v = v_star - dt * self._Gy(p, dx)
-        u, v = self.apply_velocity_bc(u, v)
+        u, v = self.apply_velocity_bc(u, v, u_max)
         u = u * pen
         v = v * pen
         return u, v, p
@@ -214,18 +218,18 @@ class ProjectionSolver:
         total = int(round(cfg.t_end / cfg.dt))
         inner = max(total // cfg.n_snapshots, 1)
 
-        def traj(mask: jax.Array):
+        def traj(mask: jax.Array, u_max=None):
             dt = jnp.asarray(cfg.dt, jnp.float32)
             u = jnp.zeros((n, n), jnp.float32)
             v = jnp.zeros((n, n), jnp.float32)
-            u, v = self.apply_velocity_bc(u, v)
+            u, v = self.apply_velocity_bc(u, v, u_max)
             p = jnp.zeros((n, n), jnp.float32)
 
             def snap(carry, _):
                 u, v, p = carry
 
                 def one(i, s):
-                    return self.step(s[0], s[1], mask, dx, dt)
+                    return self.step(s[0], s[1], mask, dx, dt, u_max)
 
                 u, v, p = jax.lax.fori_loop(0, inner, one, (u, v, p))
                 return (u, v, p), jnp.stack([u, v, p], axis=-1)

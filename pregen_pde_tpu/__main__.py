@@ -1,0 +1,231 @@
+"""CLI — one entry point per workflow (replacing the reference's scattered
+script entry points: `TrainCNO_time_L.py`, `python -m scOT.train`,
+`scOT/mixingexp.py`, `scripts/train.py`, `dataset_gen/*/main.py`):
+
+    python -m pregen_pde_tpu generate   --workload ns_spectral --n 256 --out dir/
+    python -m pregen_pde_tpu generate   --workload fpo_hole    --n 128 --out dir/
+    python -m pregen_pde_tpu train      --model fno --data dir/results_batch_0.npy
+    python -m pregen_pde_tpu mix-sweep  --hard hard.npy --easy easy.npy --alphas 0,0.25,1
+    python -m pregen_pde_tpu evaluate   --model fno --ckpt ckpt/ --data d.npy
+    python -m pregen_pde_tpu preflight  --data d.npy
+    python -m pregen_pde_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_generate(args):
+    import jax
+    from pregen_pde_tpu.datagen.writer import ShardWriter
+
+    key = jax.random.key(args.seed)
+    writer = ShardWriter(args.out, prefix=args.prefix, fmt=args.format)
+    if args.workload == "ns_spectral":
+        from pregen_pde_tpu.core.config import NSVorticityConfig
+        from pregen_pde_tpu.datagen.pipeline import (
+            GenerationConfig,
+            generate_ns_dataset,
+        )
+
+        gen = GenerationConfig(
+            solver=NSVorticityConfig(resolution=args.resolution),
+            batch_size=args.batch_size,
+            vary_difficulty=not args.fixed_difficulty,
+        )
+        generate_ns_dataset(key, gen, args.n, writer=writer)
+    else:
+        import jax.numpy as jnp
+        from pregen_pde_tpu.datagen.masked_ns import (
+            MaskedNSConfig,
+            generate_masked_ns_batch,
+        )
+
+        cfg = MaskedNSConfig(
+            pipeline=args.workload,
+            resolution=args.resolution,
+            batch_size=args.batch_size,
+            time_scale=args.time_scale,
+        )
+        done = 0
+        while done < args.n:
+            take = min(args.batch_size, args.n - done)
+            key, sub = jax.random.split(key)
+            writer.write_batch(generate_masked_ns_batch(sub, cfg, take))
+            done += take
+        writer.close()
+    print(json.dumps({"generated": args.n, "out": args.out}))
+
+
+def _make_model(name, in_size):
+    if name == "fno":
+        from pregen_pde_tpu.models.fno import FNO2d
+
+        return FNO2d(out_channels=3)
+    if name == "ffno":
+        from pregen_pde_tpu.models.ffno import FFNO2d
+
+        return FFNO2d(out_channels=3)
+    if name == "cno":
+        from pregen_pde_tpu.models.cno import CNO
+
+        return CNO(in_size=in_size, out_dim=3)
+    if name.startswith("scot"):
+        from pregen_pde_tpu.models.scot import MODEL_SIZES, ScOT, ScOTConfig
+
+        size = name.split("-")[1].upper() if "-" in name else "T"
+        return ScOT(ScOTConfig(image_size=in_size, num_channels=7,
+                               num_out_channels=3, **MODEL_SIZES[size]))
+    raise SystemExit(f"unknown model {name}")
+
+
+def _load_data(path):
+    import numpy as np
+
+    return np.load(path, mmap_mode="r")
+
+
+def _cmd_train(args):
+    import numpy as np
+    from pregen_pde_tpu.training.datasets import (
+        BatchLoader,
+        TimePairConfig,
+        TimePairDataset,
+    )
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    data = np.asarray(_load_data(args.data))
+    t_steps = data.shape[1] - 1
+    cfg = TimePairConfig(
+        max_num_time_steps=t_steps,
+        allowed_transitions=[1, 2] if args.transitions == "one" else None,
+        n_val=max(2, data.shape[0] // 10),
+        n_test=max(2, data.shape[0] // 10),
+    )
+    train = TimePairDataset(data, cfg, "train")
+    val = TimePairDataset(data, cfg, "val", mean=train.mean, std=train.std)
+    model = _make_model(args.model, data.shape[2])
+    tcfg = TrainerConfig(
+        learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        ckpt_dir=args.ckpt,
+    )
+    trainer = Trainer(model, tcfg)
+    result = trainer.fit(
+        BatchLoader(train, args.batch_size, seed=0),
+        val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},
+        log_fn=lambda rec: print(json.dumps(rec)),
+    )
+    print(json.dumps({"best_mean_val_rel_%": result["best_metric"]}))
+
+
+def _cmd_mix_sweep(args):
+    import numpy as np
+    from pregen_pde_tpu.training.datasets import (
+        BatchLoader,
+        TimePairConfig,
+        make_mixed_datasets,
+    )
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    hard = np.asarray(_load_data(args.hard))
+    easy = np.asarray(_load_data(args.easy))
+    t_steps = hard.shape[1] - 1
+    cfg = TimePairConfig(
+        max_num_time_steps=t_steps, allowed_transitions=[1, 2],
+        n_val=max(2, hard.shape[0] // 10), n_test=max(2, hard.shape[0] // 10),
+    )
+    results = {}
+    for alpha in [float(a) for a in args.alphas.split(",")]:
+        train, vh, ve, th, te = make_mixed_datasets(
+            hard, easy, alpha, args.total_trajectories, cfg
+        )
+        model = _make_model(args.model, hard.shape[2])
+        trainer = Trainer(model, TrainerConfig(
+            learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        ))
+        trainer.fit(
+            BatchLoader(train, args.batch_size, seed=0),
+            val_loaders={
+                "val_hard": BatchLoader(vh, args.batch_size, shuffle=False),
+                "val_easy": BatchLoader(ve, args.batch_size, shuffle=False),
+            },
+        )
+        trainer.restore_best()
+        results[alpha] = {
+            "test_hard": trainer.evaluate(BatchLoader(th, args.batch_size, shuffle=False)),
+            "test_easy": trainer.evaluate(BatchLoader(te, args.batch_size, shuffle=False)),
+        }
+        print(json.dumps({"alpha": alpha, **results[alpha]}))
+    print(json.dumps(results))
+
+
+def _cmd_preflight(args):
+    import numpy as np
+    from pregen_pde_tpu.utils.preflight import check_contract
+
+    report = check_contract(np.asarray(_load_data(args.data)), args.data)
+    print(json.dumps(report))
+
+
+def _cmd_bench(args):
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pregen_pde_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--workload", default="ns_spectral",
+                   choices=["ns_spectral", "fpo_regular", "fpo_hole",
+                            "fpo_multi_hole", "ldc_regular"])
+    g.add_argument("--n", type=int, default=128)
+    g.add_argument("--out", required=True)
+    g.add_argument("--prefix", default="results")
+    g.add_argument("--format", default="npy", choices=["npy", "h5"])
+    g.add_argument("--resolution", type=int, default=128)
+    g.add_argument("--batch-size", type=int, default=128)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--fixed-difficulty", action="store_true")
+    g.add_argument("--time-scale", type=float, default=1.0)
+    g.set_defaults(fn=_cmd_generate)
+
+    t = sub.add_parser("train")
+    t.add_argument("--model", default="fno")
+    t.add_argument("--data", required=True)
+    t.add_argument("--epochs", type=int, default=10)
+    t.add_argument("--batch-size", type=int, default=16)
+    t.add_argument("--lr", type=float, default=5e-5)
+    t.add_argument("--transitions", default="one")
+    t.add_argument("--ckpt", default=None)
+    t.set_defaults(fn=_cmd_train)
+
+    m = sub.add_parser("mix-sweep")
+    m.add_argument("--model", default="fno")
+    m.add_argument("--hard", required=True)
+    m.add_argument("--easy", required=True)
+    m.add_argument("--alphas", default="0.0,0.25,0.5,0.75,1.0")
+    m.add_argument("--total-trajectories", type=int, default=100)
+    m.add_argument("--epochs", type=int, default=10)
+    m.add_argument("--batch-size", type=int, default=16)
+    m.add_argument("--lr", type=float, default=5e-5)
+    m.set_defaults(fn=_cmd_mix_sweep)
+
+    f = sub.add_parser("preflight")
+    f.add_argument("--data", required=True)
+    f.set_defaults(fn=_cmd_preflight)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,8 +34,9 @@ class SpectralConv2d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, H, W, C)
         b, h, w, c = x.shape
-        m1, m2 = self.modes1, self.modes2
-        assert 2 * m1 <= h and m2 <= w // 2 + 1, "too many modes for resolution"
+        # clamp retained modes to what the resolution supports
+        m1 = min(self.modes1, h // 2)
+        m2 = min(self.modes2, w // 2 + 1)
         scale = 1.0 / (c * self.out_channels)
 
         def cplx_param(name):

@@ -166,10 +166,14 @@ class Trainer:
         return eval_step
 
     def _shard_batch(self, batch: dict) -> dict:
+        n_data = int(self.mesh.shape.get("data", 1))
         out = {}
         for k, v in batch.items():
             v = jnp.asarray(v)
-            out[k] = jax.device_put(v, batch_sharding(self.mesh, v.ndim))
+            if v.shape[0] % n_data == 0:
+                out[k] = jax.device_put(v, batch_sharding(self.mesh, v.ndim))
+            else:  # ragged tail batch: replicate rather than fail
+                out[k] = jax.device_put(v, replicated(self.mesh))
         return out
 
     # -- loops ---------------------------------------------------------------

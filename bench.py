@@ -25,7 +25,7 @@ from pregen_pde_tpu.solvers.spectral_ns import NSVorticitySolver
 
 BASELINE_TRAJ_PER_SEC = 1.0 / 60.0  # reference icoFoam estimate (see docstring)
 
-BATCH = 16
+BATCH = 32
 CFG = NSVorticityConfig(
     resolution=256,
     viscosity=1e-4,
@@ -43,7 +43,7 @@ def main():
     w0 = jax.jit(jax.vmap(lambda k: grf_2d(k, solver.grid)))(keys)
     w0.block_until_ready()
 
-    traj = jax.jit(solver.make_batched_trajectory_fn())
+    traj = jax.jit(jax.vmap(solver.make_trajectory_fn("cn_heun_packed")))
 
     def run_sync():
         # device_get of a tiny slice forces real completion; block_until_ready
@@ -62,7 +62,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "trajectories/sec/chip (2D NS 256^2 vorticity, 2500 IMEX steps, 50 snapshots)",
+                "metric": "trajectories/sec/chip (2D NS 256^2 vorticity, 2500 IMEX steps, 50 snapshots, packed-FFT)",
                 "value": round(traj_per_sec, 4),
                 "unit": "traj/s/chip",
                 "vs_baseline": round(traj_per_sec / BASELINE_TRAJ_PER_SEC, 2),

@@ -131,3 +131,46 @@ class SpectralGrid2D:
     @property
     def rfft_shape(self) -> tuple[int, int]:
         return (self.n, self.n // 2 + 1)
+
+    # -- full-fft layout (for the packed-FFT solver path) ---------------------
+
+    @cached_property
+    def k_full(self) -> np.ndarray:
+        """1-D wavenumbers in full-fft order, shape (n,)."""
+        return np.fft.fftfreq(self.n, d=self.length / self.n) * _TWO_PI
+
+    @cached_property
+    def kx_full_deriv(self) -> np.ndarray:
+        """(1, n) kx in full layout, Nyquist zeroed (odd-derivative convention)."""
+        k = self.k_full.copy()
+        if self.n % 2 == 0:
+            k[self.n // 2] = 0.0
+        return k.reshape(1, self.n)
+
+    @cached_property
+    def ky_full_deriv(self) -> np.ndarray:
+        """(n, 1) ky in full layout, Nyquist zeroed."""
+        return self.kx_full_deriv.reshape(self.n, 1).copy()
+
+    @cached_property
+    def k2_full(self) -> np.ndarray:
+        k = self.k_full
+        return (k.reshape(1, -1) ** 2 + k.reshape(-1, 1) ** 2)
+
+    @cached_property
+    def inv_k2_full(self) -> np.ndarray:
+        k2 = self.k2_full.copy()
+        k2[0, 0] = 1.0
+        inv = 1.0 / k2
+        inv[0, 0] = 0.0
+        return inv
+
+    @cached_property
+    def dealias_mask_full(self) -> np.ndarray:
+        kmax = (self.n // 2) * (_TWO_PI / self.length)
+        cutoff = (2.0 / 3.0) * kmax
+        k = self.k_full
+        return (
+            (np.abs(k.reshape(-1, 1)) <= cutoff)
+            & (np.abs(k.reshape(1, -1)) <= cutoff)
+        ).astype(np.float32)

@@ -164,6 +164,86 @@ class NSVorticitySolver:
 
     # -- trajectory API ----------------------------------------------------------
 
+    # -- packed-FFT production path -------------------------------------------
+    # State in FULL complex fft2 layout; each explicit-RHS evaluation packs two
+    # real inverse transforms into one complex ifft2 (ifft2(A + iB) = a + ib
+    # for Hermitian A, B): (u,v) in one, (w_x,w_y) in another, + one forward
+    # fft2 of the advection product → 3 complex FFTs/eval instead of the
+    # rfft2 path's 5. ~40% fewer FFT flops on the HBM-bandwidth-bound hot loop.
+
+    def _consts_full(self, real_dtype):
+        g = self.grid
+        c = lambda a: jnp.asarray(a, dtype=real_dtype)
+        return (
+            c(g.kx_full_deriv),
+            c(g.ky_full_deriv),
+            c(g.inv_k2_full),
+            c(g.dealias_mask_full),
+        )
+
+    def _rhs_explicit_full(self, w_hat, f_hat, kx, ky, inv_k2, dealias):
+        psi = w_hat * inv_k2
+        uv = jnp.fft.ifft2(1j * ky * psi + 1j * (-1j * kx * psi))
+        u, v = jnp.real(uv), jnp.imag(uv)
+        wxy = jnp.fft.ifft2(1j * kx * w_hat + 1j * (1j * ky * w_hat))
+        wx, wy = jnp.real(wxy), jnp.imag(wxy)
+        adv_hat = jnp.fft.fft2(u * wx + v * wy)
+        if self.cfg.dealias:
+            adv_hat = adv_hat * dealias
+        out = -adv_hat
+        if f_hat is not None:
+            out = out + f_hat
+        if self.cfg.drag != 0.0:
+            out = out - self.cfg.drag * w_hat
+        return out
+
+    def _build_traj_packed(self, inner_steps: int | None = None):
+        cfg = self.cfg
+        grid = self.grid
+        n = grid.n
+        if inner_steps is None:
+            total_steps = int(round(cfg.t_end / cfg.dt))
+            inner_steps = max(total_steps // cfg.n_snapshots, 1)
+
+        def traj(w0: jax.Array, nu=None) -> jax.Array:
+            real_dtype = w0.dtype
+            dt = jnp.asarray(cfg.dt, dtype=real_dtype)
+            kx, ky, inv_k2, dealias = self._consts_full(real_dtype)
+            # CN diffusion uses the TRUE |k|² (incl. Nyquist), not the
+            # derivative-zeroed kx/ky
+            k2 = jnp.asarray(grid.k2_full, dtype=real_dtype)
+            nu_v = jnp.asarray(cfg.viscosity if nu is None else nu, dtype=real_dtype)
+            nu_k2 = nu_v * k2
+            visc_num = 1.0 - 0.5 * dt * nu_k2
+            visc_den = 1.0 / (1.0 + 0.5 * dt * nu_k2)
+            forcing = make_forcing(cfg, grid)
+            f_hat = (
+                None
+                if forcing is None
+                else jnp.fft.fft2(jnp.asarray(forcing, dtype=real_dtype))
+            )
+            w_hat0 = jnp.fft.fft2(w0.astype(real_dtype))
+
+            def rhs(wh):
+                return self._rhs_explicit_full(wh, f_hat, kx, ky, inv_k2, dealias)
+
+            def one(i, wh):
+                n1 = rhs(wh)
+                pred = (wh * visc_num + dt * n1) * visc_den
+                n2 = rhs(pred)
+                return (wh * visc_num + 0.5 * dt * (n1 + n2)) * visc_den
+
+            def snapshot_body(w_hat, _):
+                w_hat = jax.lax.fori_loop(0, inner_steps, one, w_hat)
+                return w_hat, jnp.real(jnp.fft.ifft2(w_hat))
+
+            _, snaps = jax.lax.scan(snapshot_body, w_hat0, None, length=cfg.n_snapshots)
+            if cfg.include_initial:
+                snaps = jnp.concatenate([w0[None], snaps], axis=0)
+            return snaps
+
+        return traj
+
     def _build_traj(self, method: str, traced_nu: bool, inner_steps: int | None = None):
         cfg = self.cfg
         grid = self.grid
@@ -213,6 +293,9 @@ class NSVorticitySolver:
         writes (`Regular/main.py:1002-1047`), expressed as `lax.scan` over
         snapshot intervals with an inner `fori_loop` of solver steps.
         """
+        if method == "cn_heun_packed":
+            base = self._build_traj_packed(inner_steps)
+            return lambda w0: base(w0)
         base = self._build_traj(method, traced_nu=False, inner_steps=inner_steps)
         return lambda w0: base(w0)
 
@@ -220,6 +303,8 @@ class NSVorticitySolver:
         """Like ``make_trajectory_fn`` but viscosity is a traced per-call scalar:
         ``traj(w0, nu)`` — the physics-difficulty axis, vmap-able over a batch
         of Reynolds numbers (reference difficulty: `Regular/main.py:474-518`)."""
+        if method == "cn_heun_packed":
+            return self._build_traj_packed(inner_steps)
         return self._build_traj(method, traced_nu=True, inner_steps=inner_steps)
 
     def make_batched_trajectory_fn(self, method: str = "cn_heun"):

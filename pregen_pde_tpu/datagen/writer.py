@@ -27,12 +27,28 @@ class ShardWriter:
     `write_batch` returns as soon as the host copy is enqueued.
     """
 
+    def __new__(cls, out_dir, prefix: str = "results", fmt: str = "npy",
+                queue_depth: int = 2, backend: str = "auto"):
+        # npy shards route to the C++ writer when the toolchain is available
+        # (backend="python" forces the pure-Python path; "native" requires it)
+        if fmt == "npy" and backend in ("auto", "native"):
+            from pregen_pde_tpu import native
+
+            if native.available():
+                return native.NativeShardWriter(out_dir, prefix, queue_depth)
+            if backend == "native":
+                raise RuntimeError(
+                    f"native backend requested but unavailable: {native.load_error()}"
+                )
+        return super().__new__(cls)
+
     def __init__(
         self,
         out_dir: str | os.PathLike,
         prefix: str = "results",
         fmt: str = "npy",
         queue_depth: int = 2,
+        backend: str = "auto",
     ):
         if fmt not in ("npy", "h5"):
             raise ValueError(f"unknown format {fmt!r}")

@@ -134,3 +134,17 @@ def test_batched_vmap_trajectories():
     # batch elements independent: row 0 equals the single-trajectory run
     single = solver.make_trajectory_fn()(w0[0])
     np.testing.assert_allclose(np.asarray(snaps[0]), np.asarray(single), rtol=1e-6)
+
+
+def test_packed_path_matches_rfft_path():
+    """The production packed-FFT stepper is bit-compatible (f64) with the
+    reference rfft2 stepper."""
+    cfg = NSVorticityConfig(
+        resolution=64, viscosity=1e-3, dt=5e-4, t_end=0.02, n_snapshots=2,
+        forcing="fno",
+    )
+    solver = NSVorticitySolver(cfg)
+    w0 = grf_2d(jax.random.key(5), solver.grid, dtype=jnp.float64)
+    a = np.asarray(solver.make_trajectory_fn("cn_heun")(w0))
+    b = np.asarray(solver.make_trajectory_fn("cn_heun_packed")(w0))
+    np.testing.assert_allclose(a, b, atol=1e-13)

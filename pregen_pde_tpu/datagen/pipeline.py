@@ -166,6 +166,22 @@ def generate_ns_batch(
     return out
 
 
+def drop_nonfinite_trajectories(arr: np.ndarray, label: str = "batch"):
+    """Fail-soft batch filtering ≡ the reference's skip-and-continue on solver
+    failure (`Regular/main.py:1083-1116`): non-finite trajectories are dropped
+    and logged; the rest of the batch survives."""
+    import logging
+
+    finite = np.isfinite(arr).all(axis=tuple(range(1, arr.ndim)))
+    n_bad = int((~finite).sum())
+    if n_bad:
+        logging.getLogger("pregen_pde_tpu.datagen").warning(
+            "%s: dropping %d/%d non-finite trajectories", label, n_bad, len(finite)
+        )
+        arr = arr[finite]
+    return arr, n_bad
+
+
 def generate_ns_dataset(
     key: jax.Array,
     gen_cfg: GenerationConfig,
@@ -186,6 +202,7 @@ def generate_ns_dataset(
     for bk in batch_keys:
         take = min(gen_cfg.batch_size, n_traj - n_done)
         arr = generate_ns_batch(bk, gen_cfg, take, mesh)
+        arr, _ = drop_nonfinite_trajectories(arr)
         n_done += take
         if writer is not None:
             writer.write_batch(arr)

@@ -94,6 +94,27 @@ class AntiAliasedLReLu(nn.Module):
         return y
 
 
+class StandardLReLu(nn.Module):
+    """Plain leaky-ReLU activation with bilinear resampling — the reference's
+    cheap `LReLu_standard` variant (`filtered_networks.py:316-347`: lrelu +
+    avgpool/interp instead of the anti-aliased filter pipeline)."""
+
+    channels: int
+    in_size: int
+    out_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b = self.param("bias", nn.initializers.zeros, (self.channels,))
+        x = jax.nn.leaky_relu(x + b.reshape(1, 1, 1, -1).astype(x.dtype), 0.2)
+        if self.out_size != self.in_size:
+            x = jax.image.resize(
+                x, (x.shape[0], self.out_size, self.out_size, x.shape[-1]),
+                method="bilinear",
+            )
+        return x
+
+
 # ---------------------------------------------------------------------------
 # FILM lead-time conditioning
 # ---------------------------------------------------------------------------
@@ -149,6 +170,7 @@ class CNOBlock(nn.Module):
     half_width_mult: float = 0.8
     use_time: bool = True
     norm: str = "none"
+    activation: str = "cno_lrelu"  # "cno_lrelu" (anti-aliased) | "lrelu" (plain)
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
@@ -160,6 +182,8 @@ class CNOBlock(nn.Module):
                     padding="SAME")(x)
         if self.use_time:
             x = FILM(self.out_channels, norm=self.norm)(x, time)
+        if self.activation == "lrelu":
+            return StandardLReLu(self.out_channels, self.in_size, self.out_size)(x)
         return AntiAliasedLReLu(
             channels=self.out_channels, in_size=self.in_size,
             out_size=self.out_size, in_cutoff=in_cut, out_cutoff=out_cut,
@@ -200,6 +224,7 @@ class ResidualBlock(nn.Module):
     half_width_mult: float = 0.8
     use_time: bool = True
     norm: str = "none"
+    activation: str = "cno_lrelu"
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
@@ -208,12 +233,15 @@ class ResidualBlock(nn.Module):
                       padding="SAME")(x)
         if self.use_time:
             out = FILM(self.channels, norm=self.norm)(out, time)
-        out = AntiAliasedLReLu(
-            channels=self.channels, in_size=self.size, out_size=self.size,
-            in_cutoff=cut, out_cutoff=cut, in_half_width=hw, out_half_width=hw,
-            filter_size=self.filter_size,
-            lrelu_upsampling=self.lrelu_upsampling,
-        )(out)
+        if self.activation == "lrelu":
+            out = StandardLReLu(self.channels, self.size, self.size)(out)
+        else:
+            out = AntiAliasedLReLu(
+                channels=self.channels, in_size=self.size, out_size=self.size,
+                in_cutoff=cut, out_cutoff=cut, in_half_width=hw, out_half_width=hw,
+                filter_size=self.filter_size,
+                lrelu_upsampling=self.lrelu_upsampling,
+            )(out)
         out = nn.Conv(self.channels, (self.conv_kernel, self.conv_kernel),
                       padding="SAME")(out)
         if self.use_time:
@@ -270,6 +298,7 @@ class CNO(nn.Module):
     add_inv: bool = True
     use_time: bool = True
     norm: str = "none"
+    activation: str = "cno_lrelu"  # "cno_lrelu" | "lrelu" (reference variants)
     use_attention: bool = False
     out_size: int | None = None  # None → in_size
 
@@ -290,7 +319,8 @@ class CNO(nn.Module):
         enc_sizes = [self.in_size // 2**i for i in range(nl + 1)]
         dec_sizes = [out_size // 2 ** (nl - i) for i in range(nl + 1)]
 
-        kw = dict(use_time=self.use_time, norm=self.norm)
+        kw = dict(use_time=self.use_time, norm=self.norm,
+                  activation=self.activation)
 
         x = LiftProjectBlock(
             out_channels=enc_feat[0], in_size=self.in_size,

@@ -249,3 +249,22 @@ class Trainer:
                 params=jax.device_put(self.best_params, replicated(self.mesh))
             )
         return self.state
+
+    def restore_latest(self):
+        """Resume from the newest orbax checkpoint in cfg.ckpt_dir
+        (≡ --resume_training / resume_from_checkpoint, `scOT/train.py:184,566`)."""
+        if self._ckpt_mgr is None:
+            raise RuntimeError("no ckpt_dir configured")
+        import orbax.checkpoint as ocp
+
+        step = self._ckpt_mgr.latest_step()
+        if step is None:
+            return None
+        template = jax.device_get(self.state.params)
+        params = self._ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        self.state = self.state.replace(
+            params=jax.device_put(params, replicated(self.mesh))
+        )
+        return step

@@ -24,6 +24,37 @@ def _cmd_generate(args):
 
     key = jax.random.key(args.seed)
     writer = ShardWriter(args.out, prefix=args.prefix, fmt=args.format)
+    if args.workload in ("burgers", "heat", "darcy"):
+        done = 0
+        while done < args.n:
+            take = min(args.batch_size, args.n - done)
+            key, sub = jax.random.split(key)
+            if args.workload == "burgers":
+                from pregen_pde_tpu.core.config import BurgersConfig
+                from pregen_pde_tpu.datagen.simple import generate_burgers_batch
+
+                arr = generate_burgers_batch(
+                    sub, BurgersConfig(resolution=args.resolution), take
+                )
+            elif args.workload == "heat":
+                from pregen_pde_tpu.datagen.simple import generate_heat_batch
+                from pregen_pde_tpu.solvers.heat import HeatConfig
+
+                arr = generate_heat_batch(
+                    sub, HeatConfig(resolution=args.resolution), take
+                )
+            else:
+                from pregen_pde_tpu.datagen.simple import generate_darcy_batch
+                from pregen_pde_tpu.solvers.darcy import DarcyConfig
+
+                arr = generate_darcy_batch(
+                    sub, DarcyConfig(resolution=args.resolution), take
+                )
+            writer.write_batch(arr)
+            done += take
+        writer.close()
+        print(json.dumps({"generated": args.n, "out": args.out}))
+        return
     if args.workload == "ns_spectral":
         from pregen_pde_tpu.core.config import NSVorticityConfig
         from pregen_pde_tpu.datagen.pipeline import (
@@ -162,6 +193,53 @@ def _cmd_mix_sweep(args):
     print(json.dumps(results))
 
 
+def _cmd_evaluate(args):
+    """Rollout-pattern evaluation (≡ `TestCNO_ALL.py` patterns) + accumulation
+    error, from an orbax checkpoint."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    from pregen_pde_tpu.evalx.inference import accumulation_error
+    from pregen_pde_tpu.evalx.rollout import evaluate_patterns
+    from pregen_pde_tpu.training.datasets import TimePairConfig, TimePairDataset
+
+    data = np.asarray(_load_data(args.data))
+    t_steps = data.shape[1] - 1
+    cfg = TimePairConfig(
+        max_num_time_steps=t_steps, allowed_transitions=None,
+        n_val=max(2, data.shape[0] // 10), n_test=max(2, data.shape[0] // 10),
+    )
+    train = TimePairDataset(data, cfg, "train")
+    test = TimePairDataset(data, cfg, "test", mean=train.mean, std=train.std)
+    model = _make_model(args.model, data.shape[2])
+    # restore latest checkpoint
+    mgr = ocp.CheckpointManager(Path(args.ckpt).absolute())
+    step = mgr.latest_step()
+    if step is None:
+        raise SystemExit(f"no checkpoint found in {args.ckpt}")
+    import jax.numpy as jnp
+
+    _, inp0, _ = test[0]
+    template = model.init(
+        jax.random.key(0), jnp.asarray(inp0)[None], jnp.ones((1,))
+    )["params"]
+    params = mgr.restore(step, args=ocp.args.StandardRestore(
+        jax.device_get(template)))
+    patterns = [
+        [int(x) for x in p.strip("[] ").split(",")]
+        for p in args.patterns.split(";")
+    ]
+    patterns = [p for p in patterns if sum(p) <= t_steps]
+    res = evaluate_patterns(model.apply, params, test, patterns,
+                            batch_size=args.batch_size)
+    acc = accumulation_error(model.apply, params, test,
+                             max_steps=min(7, t_steps),
+                             batch_size=args.batch_size)
+    print(json.dumps({"patterns": res, "accumulation": acc}))
+
+
 def _cmd_preflight(args):
     import numpy as np
     from pregen_pde_tpu.utils.preflight import check_contract
@@ -183,7 +261,8 @@ def main(argv=None):
     g = sub.add_parser("generate")
     g.add_argument("--workload", default="ns_spectral",
                    choices=["ns_spectral", "fpo_regular", "fpo_hole",
-                            "fpo_multi_hole", "ldc_regular"])
+                            "fpo_multi_hole", "ldc_regular", "burgers",
+                            "heat", "darcy"])
     g.add_argument("--n", type=int, default=128)
     g.add_argument("--out", required=True)
     g.add_argument("--prefix", default="results")
@@ -215,6 +294,14 @@ def main(argv=None):
     m.add_argument("--batch-size", type=int, default=16)
     m.add_argument("--lr", type=float, default=5e-5)
     m.set_defaults(fn=_cmd_mix_sweep)
+
+    e = sub.add_parser("evaluate")
+    e.add_argument("--model", default="fno")
+    e.add_argument("--data", required=True)
+    e.add_argument("--ckpt", required=True)
+    e.add_argument("--patterns", default="[7];[2,2,2,1];[1,1,1,1,1,1,1]")
+    e.add_argument("--batch-size", type=int, default=16)
+    e.set_defaults(fn=_cmd_evaluate)
 
     f = sub.add_parser("preflight")
     f.add_argument("--data", required=True)

@@ -101,13 +101,19 @@ class Trainer:
         mesh=None,
         loss_fn: Callable | None = None,
         tier_fn: Callable | None = None,
+        full_loss_fn: Callable | None = None,
     ):
+        """``loss_fn(pred, label)`` customizes the pointwise loss;
+        ``full_loss_fn(params, batch)`` replaces the whole objective (used for
+        AR-rollout training via `training.ar.make_ar_loss` — batches then
+        carry {"input", "labels", ...} instead of a single "label")."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self.loss_fn = loss_fn or (
             lambda pred, lab: relative_lp_loss(pred, lab, p=cfg.loss_p)
         )
+        self.full_loss_fn = full_loss_fn
         self.tier_fn = tier_fn
         self.state: TrainState | None = None
         self.history: list[dict] = []
@@ -127,7 +133,10 @@ class Trainer:
     def init_state(self, sample_batch: dict, steps_per_epoch: int) -> TrainState:
         rng = jax.random.key(self.cfg.seed)
         inp = jnp.asarray(sample_batch["input"][:1])
-        t = jnp.asarray(sample_batch["time"][:1])
+        if "time" in sample_batch:
+            t = jnp.asarray(sample_batch["time"][:1])
+        else:
+            t = jnp.ones((1,), inp.dtype)
         params = self.model.init(rng, inp, t)["params"]
         tx = build_optimizer(self.cfg, steps_per_epoch, params, self.tier_fn)
         state = TrainState.create(
@@ -142,10 +151,13 @@ class Trainer:
 
     def _make_train_step(self):
         loss_fn = self.loss_fn
+        full_loss_fn = self.full_loss_fn
 
         @jax.jit
         def train_step(state: TrainState, batch: dict):
             def compute(params):
+                if full_loss_fn is not None:
+                    return full_loss_fn(params, batch)
                 pred = state.apply_fn(
                     {"params": params}, batch["input"], batch["time"]
                 )

@@ -130,3 +130,33 @@ def test_preflight_and_sanitize():
     # finite_ratio reporting
     fr = finite_ratio({"a": np.asarray([1.0, np.nan])})
     assert 0.0 < list(fr.values())[0] < 1.0
+
+
+def test_trainer_ar_mode():
+    """AR-rollout training through the Trainer (full_loss_fn path)."""
+    import jax.numpy as jnp
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    model = FNO2d(out_channels=3, modes=4, width=8, n_layers=1)
+    data = _fake_contract(n=8, t=6, hw=16)
+    mean = data[..., :3].mean((0, 1, 2, 3))
+    std = data[..., :3].std((0, 1, 2, 3))
+    steps = [1, 2, 2]
+    batcher = TrajectoryBatcher(data, steps=steps, mean=mean, std=std)
+    loss_fn = make_ar_loss(model.apply, steps)
+    trainer = Trainer(model, TrainerConfig(epochs=2, batch_size=4,
+                                           learning_rate=1e-3,
+                                           early_stop_patience=None),
+                      full_loss_fn=loss_fn)
+
+    class ARLoader:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            for s in (np.arange(4), np.arange(4, 8)):
+                yield batcher.make_batch(s)
+
+    result = trainer.fit(ARLoader())
+    assert len(result["history"]) == 2
+    assert np.isfinite(result["history"][-1]["train_loss"])

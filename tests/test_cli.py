@@ -1,0 +1,54 @@
+"""CLI workflow tests (fast configs)."""
+
+import json
+import numpy as np
+import pytest
+
+import pregen_pde_tpu.__main__ as cli
+
+
+def test_generate_burgers_heat_darcy(tmp_path, capsys):
+    cli.main(["generate", "--workload", "burgers", "--n", "4", "--out",
+              str(tmp_path / "b"), "--resolution", "64", "--batch-size", "4"])
+    arr = np.load(tmp_path / "b" / "results_batch_0.npy")
+    assert arr.shape[0] == 4 and arr.ndim == 3  # (N, T, X)
+    assert np.isfinite(arr).all()
+
+    cli.main(["generate", "--workload", "darcy", "--n", "2", "--out",
+              str(tmp_path / "d"), "--resolution", "32", "--batch-size", "2"])
+    arr = np.load(tmp_path / "d" / "results_batch_0.npy")
+    assert arr.shape == (2, 2, 32, 32)  # (N, [a,u], H, W)
+    assert np.isfinite(arr).all()
+
+
+def test_train_ckpt_evaluate_roundtrip(tmp_path, capsys):
+    # tiny dataset, 1-epoch train with checkpoint, then evaluate from ckpt
+    cli.main(["generate", "--workload", "ns_spectral", "--n", "8", "--out",
+              str(tmp_path), "--resolution", "16", "--batch-size", "8",
+              "--fixed-difficulty"])
+    data = str(tmp_path / "results_batch_0.npy")
+    ckpt = str(tmp_path / "ckpt")
+    cli.main(["train", "--model", "fno", "--data", data, "--epochs", "1",
+              "--batch-size", "4", "--ckpt", ckpt, "--transitions", "all"])
+    cli.main(["evaluate", "--model", "fno", "--data", data, "--ckpt", ckpt,
+              "--patterns", "[2];[1,1]", "--batch-size", "4"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert "[2]" in res["patterns"] and "[1, 1]" in res["patterns"]
+    assert res["accumulation"][0]["step"] == 1
+
+
+def test_mix_sweep_fast(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    hard = rng.normal(size=(12, 4, 8, 8, 6)).astype(np.float32)
+    easy = rng.normal(size=(12, 4, 8, 8, 6)).astype(np.float32)
+    np.save(tmp_path / "hard.npy", hard)
+    np.save(tmp_path / "easy.npy", easy)
+    cli.main(["mix-sweep", "--model", "fno", "--hard", str(tmp_path / "hard.npy"),
+              "--easy", str(tmp_path / "easy.npy"), "--alphas", "0.0,0.5",
+              "--total-trajectories", "8", "--epochs", "1", "--batch-size", "4"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert set(res) == {"0.0", "0.5"}
+    for v in res.values():
+        assert "test_hard" in v and "test_easy" in v

@@ -120,12 +120,28 @@ def generate_ns_batch(
     k_re, k_ic = jax.random.split(key)
     keys = jax.random.split(k_ic, n_traj)
 
+    def place(*arrays):
+        """Shard the batch axis over the mesh `data` axis (pod-scale path:
+        BASELINE.md '10k trajectories shard_mapped over v5e-8'); XLA
+        partitions the whole solver program over the batch."""
+        if mesh is None:
+            return arrays
+        n_data = int(mesh.shape.get("data", 1))
+        out = []
+        for a in arrays:
+            if a.shape[0] % n_data == 0:
+                out.append(jax.device_put(a, batch_sharding(mesh, a.ndim)))
+            else:
+                out.append(a)
+        return tuple(out)
+
     if not gen_cfg.vary_difficulty:
         nu = jnp.full((n_traj,), cfg.viscosity, jnp.float32)
         # Re channel: the fixed-ν benchmark's effective Re = U·L/ν with U=L=1
         re_fixed = jnp.clip(1.0 / cfg.viscosity, schedules.RE_MIN, schedules.RE_MAX)
         re_norm = jnp.full((n_traj,), schedules.normalize_re(re_fixed), jnp.float32)
         inner = max(int(round(cfg.t_end / cfg.dt)) // cfg.n_snapshots, 1)
+        keys, nu, re_norm = place(keys, nu, re_norm)
         out = _generate_bucket(
             keys, nu, re_norm, solver, inner,
             gen_cfg.grf_alpha, gen_cfg.grf_tau, gen_cfg.grf_sigma,
@@ -152,10 +168,13 @@ def generate_ns_batch(
         total_steps = int(round(float(horizon) / cfg.dt))
         inner = max(total_steps // cfg.n_snapshots, 1)
         sub_keys = jax.random.wrap_key_data(jnp.asarray(keys_np[idx]))
+        sub_nu = jnp.asarray(np.asarray(nu)[idx])
+        sub_re = jnp.asarray(np.asarray(re_norm)[idx])
+        sub_keys, sub_nu, sub_re = place(sub_keys, sub_nu, sub_re)
         res = _generate_bucket(
             sub_keys,
-            jnp.asarray(np.asarray(nu)[idx]),
-            jnp.asarray(np.asarray(re_norm)[idx]),
+            sub_nu,
+            sub_re,
             solver,
             inner,
             gen_cfg.grf_alpha,

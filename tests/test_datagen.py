@@ -93,3 +93,19 @@ def test_generation_sharded_over_mesh():
     assert out.shape == (16, 5, 32, 32, 6)
     # output keeps the batch axis sharded over 'data'
     assert "data" in str(out.sharding)
+
+
+def test_pod_scale_generation_with_mesh(tmp_path):
+    """BASELINE pod config shape: batch-sharded generation over the full mesh
+    streamed to shards."""
+    from pregen_pde_tpu.parallel.meshes import make_mesh
+    from pregen_pde_tpu.datagen.writer import ShardWriter, load_shards
+    from pregen_pde_tpu.datagen.pipeline import generate_ns_dataset
+
+    mesh = make_mesh()
+    gen = GenerationConfig(solver=SMALL, batch_size=16, vary_difficulty=False)
+    w = ShardWriter(tmp_path, prefix="pod")
+    generate_ns_dataset(jax.random.key(0), gen, 32, writer=w, mesh=mesh)
+    data = load_shards(tmp_path, prefix="pod")
+    assert data.shape == (32, 5, 32, 32, 6)
+    assert np.isfinite(data).all()

@@ -126,3 +126,27 @@ def test_scot_learn_residual():
 def test_model_size_table():
     assert MODEL_SIZES["B"]["embed_dim"] == 96
     assert MODEL_SIZES["L"]["embed_dim"] == 192
+
+
+def test_scot_trains_with_trainer():
+    """scOT through the unified Trainer (1 epoch, tiny config)."""
+    import numpy as np
+    from pregen_pde_tpu.training.datasets import (
+        BatchLoader, TimePairConfig, TimePairDataset,
+    )
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(10, 4, 32, 32, 6)).astype(np.float32)
+    cfg = TimePairConfig(max_num_time_steps=3, allowed_transitions=[1],
+                         n_val=2, n_test=2)
+    train = TimePairDataset(data, cfg, "train", num_trajectories=6)
+    model = ScOT(ScOTConfig(
+        image_size=32, patch_size=4, num_channels=7, num_out_channels=3,
+        embed_dim=16, depths=(1, 1), num_heads=(2, 2), skip_connections=(1, 0),
+        window_size=4,
+    ))
+    trainer = Trainer(model, TrainerConfig(epochs=1, batch_size=4,
+                                           early_stop_patience=None))
+    result = trainer.fit(BatchLoader(train, 4, seed=0))
+    assert np.isfinite(result["history"][0]["train_loss"])

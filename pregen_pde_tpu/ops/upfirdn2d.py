@@ -67,6 +67,69 @@ def _depthwise_conv(
     )
 
 
+# ---------------------------------------------------------------------------
+# MXU (matmul) lowering for separable filters
+# ---------------------------------------------------------------------------
+# A 1-D upfirdn along one axis is a linear map R^n_in → R^n_out; materializing
+# it as a dense (n_in, n_out) matrix turns the whole pad/zero-stuff/FIR/
+# decimate pipeline into ONE einsum on the MXU. On TPU this beats the
+# depthwise-conv lowering by a wide margin (the conv path is VPU-bound and
+# far off the bandwidth roofline); at n ≤ 512 the dense operator is small.
+# Matrices are built host-side (numpy, exact reference semantics applied to
+# the identity basis) and cached.
+
+_MATRIX_CACHE: dict = {}
+
+
+def _upfirdn1d_matrix(
+    n_in: int, f: np.ndarray, up: int, down: int, p0: int, p1: int,
+    flip_filter: bool, gain: float,
+) -> np.ndarray:
+    """(n_in, n_out) operator: columns are upfirdn applied to basis vectors."""
+    f = np.asarray(f, np.float64) * (gain ** 0.5)  # separable: √gain per pass
+    if not flip_filter:
+        f = f[::-1]
+    taps = f.shape[0]
+    # basis rows processed together: zero-stuff the identity
+    eye = np.eye(n_in)
+    up_arr = np.zeros((n_in, n_in * up))
+    up_arr[:, ::up] = eye
+    # pad / crop
+    up_arr = np.pad(up_arr, ((0, 0), (max(p0, 0), max(p1, 0))))
+    up_arr = up_arr[:, max(-p0, 0): up_arr.shape[1] - max(-p1, 0)]
+    # correlate with (possibly pre-flipped) f, 'valid'
+    L = up_arr.shape[1]
+    n_valid = L - taps + 1
+    out = np.zeros((n_in, n_valid))
+    for k in range(taps):
+        out += f[k] * up_arr[:, k: k + n_valid]
+    # decimate
+    return np.ascontiguousarray(out[:, ::down]).astype(np.float32)
+
+
+def _get_matrix(n_in, f, up, down, p0, p1, flip_filter, gain):
+    key = (n_in, f.tobytes(), up, down, p0, p1, flip_filter, round(gain, 12))
+    m = _MATRIX_CACHE.get(key)
+    if m is None:
+        m = _upfirdn1d_matrix(n_in, f, up, down, p0, p1, flip_filter, gain)
+        _MATRIX_CACHE[key] = m
+    return m
+
+
+def _upfirdn2d_matmul(x, f_np, upx, upy, downx, downy, px0, px1, py0, py1,
+                      flip_filter, gain):
+    mw = _get_matrix(x.shape[2], f_np, upx, downx, px0, px1, flip_filter, gain)
+    mh = _get_matrix(x.shape[1], f_np, upy, downy, py0, py1, flip_filter, gain)
+    mw_j = jnp.asarray(mw, x.dtype)
+    mh_j = jnp.asarray(mh, x.dtype)
+    # W pass: (B,H,W,C),(W,W') → (B,H,W',C); H pass analogous — MXU contractions
+    x = jnp.einsum("bhwc,wo->bhoc", x, mw_j,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("bhwc,ho->bowc", x, mh_j,
+                   precision=jax.lax.Precision.HIGHEST)
+    return x
+
+
 def upfirdn2d(
     x: jax.Array,
     f: np.ndarray | jax.Array | None,
@@ -75,6 +138,7 @@ def upfirdn2d(
     padding=0,
     flip_filter: bool = False,
     gain: float = 1.0,
+    impl: str = "auto",
 ) -> jax.Array:
     """Args mirror the reference op (`upfirdn2d.py:110-150`) except layout:
     ``x`` is float NHWC ``[batch, in_height, in_width, channels]``; ``f`` is a
@@ -82,13 +146,31 @@ def upfirdn2d(
     Returns ``[batch, out_height, out_width, channels]``.
     """
     assert x.ndim == 4
+    assert impl in ("auto", "conv", "matmul")
     if f is None:
         f = jnp.ones((1, 1), jnp.float32)
+    f_np = np.asarray(f, np.float32) if not isinstance(f, jax.core.Tracer) else None
     f = jnp.asarray(f, jnp.float32)
     assert f.ndim in (1, 2)
     upx, upy = _parse_scaling(up)
     downx, downy = _parse_scaling(down)
     px0, px1, py0, py1 = parse_padding(padding)
+
+    # MXU path: separable filter, concrete taps, static spatial dims
+    if (
+        impl in ("auto", "matmul")
+        and f.ndim == 1
+        and f_np is not None
+        and not isinstance(x.shape[1], jax.core.Tracer)
+    ):
+        taps = f_np.shape[0]
+        _check_min_size(x, upx, upy, px0, px1, py0, py1, taps, taps)
+        return _upfirdn2d_matmul(
+            x, f_np, upx, upy, downx, downy, px0, px1, py0, py1,
+            flip_filter, gain,
+        )
+    if impl == "matmul":
+        raise ValueError("matmul impl requires a concrete separable filter")
 
     # lhs_dilation yields in*up − (up−1); the contract zero-stuffs AFTER each
     # pixel (length in*up), so fold the missing trailing zeros into 'after' pad.

@@ -178,3 +178,22 @@ def test_setup_filter_conventions():
     assert f2.ndim == 1  # >=8 taps stays separable
     f3 = setup_filter(np.ones((3, 3)), gain=4.0)
     assert f3.ndim == 2 and np.isclose(f3.sum(), 4.0)
+
+
+def test_matmul_path_matches_conv_path():
+    """The MXU matmul lowering equals the conv lowering for separable filters
+    (all up/down/pad/flip/gain combinations)."""
+    x = jnp.asarray(_rand((2, 12, 10, 3), 20), jnp.float32)
+    f = design_lowpass_filter(8, 0.3, 0.3, 2.0)
+    for up, down, pad, flip, gain in [
+        (2, 1, 4, False, 4.0), (1, 2, 4, True, 1.0), (2, 2, 7, False, 2.0),
+        (1, 1, 4, True, 1.5),
+    ]:
+        a = upfirdn2d(x, f, up=up, down=down, padding=pad, flip_filter=flip,
+                      gain=gain, impl="conv")
+        b = upfirdn2d(x, f, up=up, down=down, padding=pad, flip_filter=flip,
+                      gain=gain, impl="matmul")
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=f"{up} {down} {pad} {flip} {gain}",
+        )

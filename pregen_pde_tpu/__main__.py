@@ -63,7 +63,9 @@ def _cmd_generate(args):
         )
 
         gen = GenerationConfig(
-            solver=NSVorticityConfig(resolution=args.resolution),
+            solver=NSVorticityConfig(
+                resolution=args.resolution, forcing=args.forcing,
+            ),
             batch_size=args.batch_size,
             vary_difficulty=not args.fixed_difficulty,
         )
@@ -271,6 +273,8 @@ def main(argv=None):
     g.add_argument("--batch-size", type=int, default=128)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--fixed-difficulty", action="store_true")
+    g.add_argument("--forcing", default="fno",
+                   choices=["fno", "kolmogorov", "none"])
     g.add_argument("--time-scale", type=float, default=1.0)
     g.set_defaults(fn=_cmd_generate)
 

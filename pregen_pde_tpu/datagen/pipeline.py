@@ -79,14 +79,14 @@ def _pack_contract(
 
 @partial(
     jax.jit,
-    static_argnames=("solver", "inner_steps", "grf_alpha", "grf_tau", "grf_sigma"),
+    static_argnames=("solver", "grf_alpha", "grf_tau", "grf_sigma"),
 )
 def _generate_bucket(
     keys: jax.Array,  # (B,) PRNG keys
     nu: jax.Array,  # (B,)
     re_norm: jax.Array,  # (B,)
     solver: NSVorticitySolver,
-    inner_steps: int,
+    inner_steps,  # traced int32 scalar → one compile per BATCH SHAPE, not per horizon
     grf_alpha: float = 2.5,
     grf_tau: float = 7.0,
     grf_sigma: float | None = None,
@@ -95,8 +95,10 @@ def _generate_bucket(
     w0 = jax.vmap(
         lambda k: grf_2d(k, grid, alpha=grf_alpha, tau=grf_tau, sigma=grf_sigma)
     )(keys)
-    traj = solver.make_batched_trajectory_fn_nu(inner_steps=inner_steps)
-    snaps = traj(w0, nu)
+    traj = jax.vmap(
+        solver.make_trajectory_fn_nu("cn_heun_packed"), in_axes=(0, 0, None)
+    )
+    snaps = traj(w0, nu, jnp.asarray(inner_steps, jnp.int32))
     n = grid.n
     mask = no_hole_mask(n)
     sdf = sdf_from_mask(mask)

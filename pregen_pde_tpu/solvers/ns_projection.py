@@ -216,10 +216,16 @@ class ProjectionSolver:
         n = cfg.resolution
         dx = cfg.length / n
         total = int(round(cfg.t_end / cfg.dt))
-        inner = max(total // cfg.n_snapshots, 1)
+        default_inner = max(total // cfg.n_snapshots, 1)
 
-        def traj(mask: jax.Array, u_max=None):
-            dt = jnp.asarray(cfg.dt, jnp.float32)
+        def traj(mask: jax.Array, u_max=None, inner_steps=None, dt=None):
+            # traced ``inner_steps`` and ``dt`` → one compiled program serves
+            # every Re-horizon bucket (compile here is minutes-scale on TPU).
+            # dt must satisfy the explicit CFL bound — unlike the reference's
+            # implicit PISO (icoFoam), Δt=0.2 does NOT transfer; callers pick
+            # dt from u_max (see `datagen.masked_ns.cfl_dt`).
+            inner = default_inner if inner_steps is None else inner_steps
+            dt = jnp.asarray(cfg.dt if dt is None else dt, jnp.float32)
             u = jnp.zeros((n, n), jnp.float32)
             v = jnp.zeros((n, n), jnp.float32)
             u, v = self.apply_velocity_bc(u, v, u_max)

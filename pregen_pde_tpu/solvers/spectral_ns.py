@@ -197,15 +197,22 @@ class NSVorticitySolver:
             out = out - self.cfg.drag * w_hat
         return out
 
-    def _build_traj_packed(self, inner_steps: int | None = None):
+    def _build_traj_packed(self, inner_steps=None):
+        """``inner_steps`` may be a Python int (baked in) OR a traced int32
+        scalar passed at call time (`traj(w0, nu, inner_steps)`) — the traced
+        form lets ONE compiled program serve every difficulty-horizon bucket
+        (the reference's Re-dependent `RE_TIME_SCHEDULE` would otherwise force
+        a recompile per horizon)."""
         cfg = self.cfg
         grid = self.grid
         n = grid.n
-        if inner_steps is None:
+        default_inner = inner_steps
+        if default_inner is None:
             total_steps = int(round(cfg.t_end / cfg.dt))
-            inner_steps = max(total_steps // cfg.n_snapshots, 1)
+            default_inner = max(total_steps // cfg.n_snapshots, 1)
 
-        def traj(w0: jax.Array, nu=None) -> jax.Array:
+        def traj(w0: jax.Array, nu=None, inner_steps=None) -> jax.Array:
+            inner_steps = default_inner if inner_steps is None else inner_steps
             real_dtype = w0.dtype
             dt = jnp.asarray(cfg.dt, dtype=real_dtype)
             kx, ky, inv_k2, dealias = self._consts_full(real_dtype)

@@ -29,6 +29,7 @@ cavity profiles), not bit-matched to the FVM solver — SURVEY.md §7.3(2).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,7 @@ class ProjectionConfig:
     t_end: float = 1.0
     n_snapshots: int = 20
     penalization_eta: float = 1e-3  # Brinkman permeability
+    pressure_solver: str = "direct"  # "direct" (DCT eigen-solve) | "cg"
     cg_iters: int = 200
 
 
@@ -136,22 +138,86 @@ class ProjectionSolver:
     def _Gx(self, p: jax.Array, dx: float) -> jax.Array:
         g = (self._shift(p, 1, +1) - p) / dx  # edge pad ⇒ 0 at last col (Neumann)
         if self.cfg.domain == "channel":
-            g = g.at[:, -1].set(-p[:, -1] / dx)  # outlet ghost p = 0
+            # outlet: p = 0 AT THE FACE (half cell out) → gradient −2p/dx
+            g = g.at[:, -1].set(-2.0 * p[:, -1] / dx)
         return g
 
     def _Gy(self, p: jax.Array, dx: float) -> jax.Array:
         return (self._shift(p, 0, +1) - p) / dx
 
+    @staticmethod
+    def _shift_zero(q: jax.Array, axis: int) -> jax.Array:
+        """Previous neighbor with a ZERO ghost at the low edge (flux form)."""
+        if axis == 0:
+            return jnp.pad(q, ((1, 0), (0, 0)))[:-1, :]
+        return jnp.pad(q, ((0, 0), (1, 0)))[:, :-1]
+
     def _Dx(self, u: jax.Array, dx: float) -> jax.Array:
-        return (u - self._shift(u, 1, -1)) / dx  # edge pad ⇒ 0 at first col
+        # zero ghost (boundary face flux = 0), NOT edge replication — edge
+        # replication zeroes the boundary row of −D∘G and makes the Poisson
+        # system inconsistent (CG then stalls ~300 iters without converging)
+        return (u - self._shift_zero(u, 1)) / dx
 
     def _Dy(self, v: jax.Array, dx: float) -> jax.Array:
-        return (v - self._shift(v, 0, -1)) / dx
+        return (v - self._shift_zero(v, 0)) / dx
 
     def _poisson_A(self, p: jax.Array, dx: float):
         return -(self._Dx(self._Gx(p, dx), dx) + self._Dy(self._Gy(p, dx), dx))
 
-    def solve_pressure(self, rhs: jax.Array, dx: float) -> jax.Array:
+    # -- direct (eigen) pressure solver ----------------------------------------
+    # The −D∘G operator is mask-independent and diagonalizes exactly in cosine
+    # bases: DCT-II along any Neumann axis, DCT-IV along the channel's mixed
+    # Neumann-inlet/Dirichlet-outlet axis (verified in tests against the dense
+    # operator). One transform each way = four (n,n)×(n,n) matmuls on the MXU —
+    # replaces O(n) Jacobi-CG iterations with an EXACT solve.
+
+    @staticmethod
+    @functools.lru_cache(maxsize=8)
+    def _eigen_basis(n: int, domain: str):
+        j = np.arange(n)
+        c2 = np.cos(np.pi * j[:, None] * (j[None, :] + 0.5) / n) * np.sqrt(2.0 / n)
+        c2[0] *= np.sqrt(0.5)  # orthonormal DCT-II (rows = eigenvectors)
+        lam2 = 2.0 - 2.0 * np.cos(np.pi * j / n)
+        if domain == "channel":
+            c4 = np.cos(
+                np.pi * (j[:, None] + 0.5) * (j[None, :] + 0.5) / n
+            ) * np.sqrt(2.0 / n)  # orthonormal symmetric DCT-IV
+            lam4 = 2.0 - 2.0 * np.cos(np.pi * (j + 0.5) / n)
+            return c2, lam2, c4, lam4  # float64; cast to working dtype at use
+        return c2, lam2, c2, lam2
+
+    def solve_pressure_direct(self, rhs: jax.Array, dx: float) -> jax.Array:
+        cfg = self.cfg
+        n = cfg.resolution
+        cy, ly, cx, lx = self._eigen_basis(n, cfg.domain)
+        hp = jax.lax.Precision.HIGHEST
+        cy_j = jnp.asarray(cy, rhs.dtype)
+        cx_j = jnp.asarray(cx, rhs.dtype)
+        denom = (
+            jnp.asarray(ly, rhs.dtype)[:, None]
+            + jnp.asarray(lx, rhs.dtype)[None, :]
+        ) / (dx * dx)
+        if cfg.domain == "cavity":
+            rhs = rhs - jnp.mean(rhs)
+            denom = denom.at[0, 0].set(1.0)  # zero mode handled below
+        rhs_hat = jnp.matmul(cy_j, jnp.matmul(rhs, cx_j.T, precision=hp),
+                             precision=hp)
+        p_hat = rhs_hat / denom
+        if cfg.domain == "cavity":
+            p_hat = p_hat.at[0, 0].set(0.0)
+        p = jnp.matmul(cy_j.T, jnp.matmul(p_hat, cx_j, precision=hp),
+                       precision=hp)
+        return p
+
+    def solve_pressure(self, rhs: jax.Array, dx: float,
+                       p_init: jax.Array | None = None) -> jax.Array:
+        """Jacobi-preconditioned CG with warm start and tolerance-based exit.
+
+        Warm-starting from the previous step's pressure cuts iterations
+        dramatically (consecutive pressure fields are nearly identical); the
+        `while_loop` exits once ||r|| ≤ tol·||rhs|| or at cfg.cg_iters. Under
+        vmap the loop runs until every batch lane converges — still a large
+        saving over a fixed worst-case trip count."""
         cfg = self.cfg
         if cfg.domain == "cavity":
             rhs = rhs - jnp.mean(rhs)  # pure-Neumann compatibility
@@ -160,9 +226,18 @@ class ProjectionSolver:
             return self._poisson_A(p, dx)
 
         minv = dx * dx / 4.0
+        tol2 = jnp.asarray((1e-4) ** 2, rhs.dtype) * (jnp.vdot(rhs, rhs) + 1e-30)
 
-        def body(_, state):
-            p, r, z, d, rz = state
+        p0 = jnp.zeros_like(rhs) if p_init is None else p_init
+        r0 = rhs - A(p0)
+        z0 = minv * r0
+
+        def cond(state):
+            i, p, r, z, d, rz = state
+            return (i < cfg.cg_iters) & (jnp.vdot(r, r) > tol2)
+
+        def body(state):
+            i, p, r, z, d, rz = state
             Ad = A(d)
             alpha = rz / (jnp.vdot(d, Ad) + 1e-30)
             p = p + alpha * d
@@ -171,13 +246,10 @@ class ProjectionSolver:
             rz_new = jnp.vdot(r, z)
             beta = rz_new / (rz + 1e-30)
             d = z + beta * d
-            return (p, r, z, d, rz_new)
+            return (i + 1, p, r, z, d, rz_new)
 
-        p0 = jnp.zeros_like(rhs)
-        r0 = rhs
-        z0 = minv * r0
-        p, *_ = jax.lax.fori_loop(
-            0, cfg.cg_iters, body, (p0, r0, z0, z0, jnp.vdot(r0, z0))
+        _, p, *_ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), p0, r0, z0, z0, jnp.vdot(r0, z0))
         )
         if cfg.domain == "cavity":
             p = p - jnp.mean(p)
@@ -189,7 +261,7 @@ class ProjectionSolver:
 
     # -- full step -------------------------------------------------------------
 
-    def step(self, u, v, mask, dx, dt, u_max=None):
+    def step(self, u, v, mask, dx, dt, u_max=None, p_prev=None):
         cfg = self.cfg
         u_star, v_star = self.predictor(u, v, dx, dt)
         # implicit Brinkman penalization
@@ -198,8 +270,20 @@ class ProjectionSolver:
         v_star = v_star * pen
         u_star, v_star = self.apply_velocity_bc(u_star, v_star, u_max)
 
-        rhs = -(self._Dx(u_star, dx) + self._Dy(v_star, dx)) / dt
-        p = self.solve_pressure(rhs, dx)
+        div = self._Dx(u_star, dx) + self._Dy(v_star, dx)
+        if cfg.domain == "channel":
+            # the inlet face carries the prescribed inflow flux (the flux-form
+            # D uses a zero ghost); without this the exact projection forces
+            # total outflow to zero and blocks the channel
+            um = cfg.u_max if u_max is None else u_max
+            inlet = jnp.asarray(parabolic_inlet(cfg.resolution, 1.0),
+                                u_star.dtype) * um
+            div = div.at[:, 0].add(-inlet / dx)
+        rhs = -div / dt
+        if cfg.pressure_solver == "direct":
+            p = self.solve_pressure_direct(rhs, dx)
+        else:
+            p = self.solve_pressure(rhs, dx, p_init=p_prev)
 
         u = u_star - dt * self._Gx(p, dx)
         v = v_star - dt * self._Gy(p, dx)
@@ -235,7 +319,7 @@ class ProjectionSolver:
                 u, v, p = carry
 
                 def one(i, s):
-                    return self.step(s[0], s[1], mask, dx, dt, u_max)
+                    return self.step(s[0], s[1], mask, dx, dt, u_max, p_prev=s[2])
 
                 u, v, p = jax.lax.fori_loop(0, inner, one, (u, v, p))
                 return (u, v, p), jnp.stack([u, v, p], axis=-1)

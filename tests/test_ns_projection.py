@@ -86,3 +86,37 @@ def test_batched_masks():
     frames = solver.make_batched_trajectory_fn()(masks)
     assert frames.shape == (2, 3, 32, 32, 3)
     assert bool(jnp.all(jnp.isfinite(frames)))
+
+
+def test_direct_pressure_solver_exact():
+    """DCT eigen-solver inverts the discrete operator to machine precision
+    (f64) for both domains."""
+    for domain in ("cavity", "channel"):
+        cfg = ProjectionConfig(resolution=32, domain=domain)
+        solver = ProjectionSolver(cfg)
+        dx = cfg.length / 32
+        rhs = jnp.asarray(
+            np.random.default_rng(0).normal(size=(32, 32)), jnp.float64
+        )
+        p = solver.solve_pressure_direct(rhs, dx)
+        expected = rhs - (jnp.mean(rhs) if domain == "cavity" else 0.0)
+        res = solver._poisson_A(p, dx) - expected
+        assert float(jnp.abs(res).max()) < 1e-10, domain
+
+
+def test_projection_divergence_machine_zero():
+    """With the exact solver, the post-projection divergence (inlet-aware)
+    vanishes to solver precision."""
+    cfg = ProjectionConfig(
+        resolution=32, length=1.0, viscosity=0.01, domain="channel", u_max=1.0,
+        dt=1e-3, t_end=0.05, n_snapshots=1,
+    )
+    solver = ProjectionSolver(cfg)
+    frames = solver.make_trajectory_fn()(no_hole_mask(32))
+    u, v = jnp.asarray(frames[-1, :, :, 0]), jnp.asarray(frames[-1, :, :, 1])
+    dx = cfg.length / 32
+    div = solver.divergence(u, v, dx)
+    inlet = jnp.asarray(parabolic_inlet(32, 1.0))
+    div = div.at[:, 0].add(-inlet / dx)
+    # exactly zero beyond the 2-ring where BC re-imposition perturbs neighbors
+    assert float(jnp.abs(np.asarray(div)[2:-2, 2:-2]).max()) < 1e-4

@@ -61,11 +61,12 @@ class FactorizedSpectralLayer(nn.Module):
         def cplx(name, shape):
             re = self.param(f"{name}_re", nn.initializers.uniform(scale), shape)
             im = self.param(f"{name}_im", nn.initializers.uniform(scale), shape)
-            return jax.lax.complex(re, im)
+            return jax.lax.complex(re.astype(jnp.float32),
+                                   im.astype(jnp.float32))
 
         # along W (x-direction): rfft over axis 2
         wx = cplx("w_x", (c, m, self.channels))
-        x_hx = jnp.fft.rfft(x, axis=2)  # (B, H, W//2+1, C)
+        x_hx = jnp.fft.rfft(x.astype(jnp.float32), axis=2)  # (B, H, W//2+1, C)
         out_x = jnp.einsum("bhmi,imo->bhmo", x_hx[:, :, :m, :], wx)
         full_x = jnp.zeros((b, h, w // 2 + 1, self.channels), out_x.dtype)
         full_x = full_x.at[:, :, :m, :].set(out_x)
@@ -73,7 +74,7 @@ class FactorizedSpectralLayer(nn.Module):
 
         # along H (y-direction): rfft over axis 1
         wy = cplx("w_y", (c, m, self.channels))
-        x_hy = jnp.fft.rfft(x, axis=1)  # (B, H//2+1, W, C)
+        x_hy = jnp.fft.rfft(x.astype(jnp.float32), axis=1)  # (B, H//2+1, W, C)
         out_y = jnp.einsum("bmwi,imo->bmwo", x_hy[:, :m, :, :], wy)
         full_y = jnp.zeros((b, h // 2 + 1, w, self.channels), out_y.dtype)
         full_y = full_y.at[:, :m, :, :].set(out_y)

@@ -52,12 +52,15 @@ class SpectralConv2d(nn.Module):
                 (c, m1, m2, self.out_channels),
                 jnp.float32,
             )
-            return jax.lax.complex(re, im)
+            # spectral weights always act in f32 (TPU FFT is f32; bf16
+            # compute_dtype upstream casts params, so upcast here)
+            return jax.lax.complex(re.astype(jnp.float32),
+                                   im.astype(jnp.float32))
 
         w_pos = cplx_param("w_pos")  # modes [0, m1)
         w_neg = cplx_param("w_neg")  # modes [-m1, 0)
 
-        x_hat = jnp.fft.rfft2(x, axes=(1, 2))  # (B, H, W//2+1, C) complex
+        x_hat = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))  # complex64
         top = jnp.einsum("bxyi,ixyo->bxyo", x_hat[:, :m1, :m2, :], w_pos)
         bot = jnp.einsum("bxyi,ixyo->bxyo", x_hat[:, -m1:, :m2, :], w_neg)
 

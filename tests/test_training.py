@@ -108,3 +108,29 @@ def test_losses():
     valid = jnp.ones((2, 4, 4, 1))
     m = float(masked_mse(pred + 2.0, pred, valid))
     np.testing.assert_allclose(m, 4.0, rtol=1e-6)
+
+
+def test_trainer_bf16_and_remat():
+    """Mixed-precision + remat training paths produce finite decreasing loss."""
+    import jax
+    from pregen_pde_tpu.models.fno import FNO2d
+    from pregen_pde_tpu.training.datasets import TimePairConfig, TimePairDataset
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    data = _fake_data(n=12, t=5, hw=16, seed=7)
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1],
+                         n_val=2, n_test=2)
+    ds = TimePairDataset(data, cfg, "train", num_trajectories=8)
+    model = FNO2d(out_channels=3, modes=4, width=8, n_layers=1)
+    for kw in ({"compute_dtype": "bfloat16"}, {"remat": True}):
+        trainer = Trainer(model, TrainerConfig(
+            epochs=2, batch_size=8, learning_rate=1e-3,
+            early_stop_patience=None, **kw,
+        ))
+        res = trainer.fit(BatchLoader(ds, 8, seed=0))
+        h = res["history"]
+        assert np.isfinite(h[-1]["train_loss"]), kw
+        assert h[-1]["train_loss"] < h[0]["train_loss"] * 1.5, kw
+        # master weights stay f32
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        assert all(l.dtype == np.float32 for l in leaves), kw

@@ -122,11 +122,13 @@ def _upfirdn2d_matmul(x, f_np, upx, upy, downx, downy, px0, px1, py0, py1,
     mh = _get_matrix(x.shape[1], f_np, upy, downy, py0, py1, flip_filter, gain)
     mw_j = jnp.asarray(mw, x.dtype)
     mh_j = jnp.asarray(mh, x.dtype)
-    # W pass: (B,H,W,C),(W,W') → (B,H,W',C); H pass analogous — MXU contractions
-    x = jnp.einsum("bhwc,wo->bhoc", x, mw_j,
-                   precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("bhwc,ho->bowc", x, mh_j,
-                   precision=jax.lax.Precision.HIGHEST)
+    # W pass: (B,H,W,C),(W,W') → (B,H,W',C); H pass analogous — MXU
+    # contractions. Precision.HIGH (bf16x3 on TPU) keeps ~1e-5 relative
+    # accuracy at ~1.2x less MXU time than HIGHEST; CPU (tests) is exact
+    # either way.
+    prec = jax.lax.Precision.HIGH
+    x = jnp.einsum("bhwc,wo->bhoc", x, mw_j, precision=prec)
+    x = jnp.einsum("bhwc,ho->bowc", x, mh_j, precision=prec)
     return x
 
 

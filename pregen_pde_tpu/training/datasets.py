@@ -196,6 +196,20 @@ def make_mixed_datasets(
     return train, val_h, val_e, test_h, test_e
 
 
+def make_pretraining_mix(datasets: Sequence) -> ConcatDataset:
+    """Multi-dataset (foundation-model) pretraining mixture — the reference's
+    `eul_ns_mix1` construction (`CNO_timeModule_CIN.py:1076-1123`): concatenate
+    heterogeneous problem datasets (all items must share (H, W, Cin/Cout) for
+    batching; use AdapterWrapper for dimension mismatches)."""
+    assert len(datasets) > 0
+    first = datasets[0][0]
+    for ds in datasets[1:]:
+        item = ds[0]
+        assert item[1].shape == first[1].shape, "input shapes must match"
+        assert item[2].shape == first[2].shape, "label shapes must match"
+    return ConcatDataset(datasets)
+
+
 class BatchLoader:
     """Shuffling batch iterator → dict of stacked numpy arrays
     {"time": (B,), "input": (B,H,W,Cin), "label": (B,H,W,Cout)}."""

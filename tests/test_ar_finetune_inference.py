@@ -160,3 +160,26 @@ def test_trainer_ar_mode():
     result = trainer.fit(ARLoader())
     assert len(result["history"]) == 2
     assert np.isfinite(result["history"][-1]["train_loss"])
+
+
+def test_plots_and_pretraining_mix(tmp_path):
+    from pregen_pde_tpu.evalx.plots import plot_from_samples, prediction_grid
+    from pregen_pde_tpu.training.datasets import make_pretraining_mix
+
+    rng = np.random.default_rng(0)
+    inp = rng.normal(size=(3, 16, 16, 7)).astype(np.float32)
+    pred = rng.normal(size=(3, 16, 16, 3)).astype(np.float32)
+    lab = rng.normal(size=(3, 16, 16, 3)).astype(np.float32)
+    p = prediction_grid(inp, pred, lab, str(tmp_path / "grid.png"))
+    assert (tmp_path / "grid.png").stat().st_size > 1000
+    np.savez(tmp_path / "s.npz", input=inp, prediction=pred, label=lab)
+    plot_from_samples(str(tmp_path / "s.npz"), str(tmp_path / "g2.png"))
+    assert (tmp_path / "g2.png").exists()
+
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1],
+                         n_val=2, n_test=2)
+    a = TimePairDataset(_fake_contract(seed=1), cfg, "train", num_trajectories=4)
+    b = TimePairDataset(_fake_contract(seed=2), cfg, "train", num_trajectories=4)
+    mix = make_pretraining_mix([a, b])
+    assert len(mix) == len(a) + len(b)
+    assert mix[len(a)][1].shape == a[0][1].shape

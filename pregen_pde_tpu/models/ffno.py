@@ -68,7 +68,8 @@ class FactorizedSpectralLayer(nn.Module):
         wx = cplx("w_x", (c, m, self.channels))
         x_hx = jnp.fft.rfft(x.astype(jnp.float32), axis=2)  # (B, H, W//2+1, C)
         out_x = jnp.einsum("bhmi,imo->bhmo", x_hx[:, :, :m, :], wx)
-        full_x = jnp.zeros((b, h, w // 2 + 1, self.channels), out_x.dtype)
+        zx = jnp.zeros((b, h, w // 2 + 1, self.channels), jnp.float32)
+        full_x = jax.lax.complex(zx, zx)  # complex built on device (see fno.py)
         full_x = full_x.at[:, :, :m, :].set(out_x)
         y_x = jnp.fft.irfft(full_x, n=w, axis=2)
 
@@ -76,7 +77,8 @@ class FactorizedSpectralLayer(nn.Module):
         wy = cplx("w_y", (c, m, self.channels))
         x_hy = jnp.fft.rfft(x.astype(jnp.float32), axis=1)  # (B, H//2+1, W, C)
         out_y = jnp.einsum("bmwi,imo->bmwo", x_hy[:, :m, :, :], wy)
-        full_y = jnp.zeros((b, h // 2 + 1, w, self.channels), out_y.dtype)
+        zy = jnp.zeros((b, h // 2 + 1, w, self.channels), jnp.float32)
+        full_y = jax.lax.complex(zy, zy)
         full_y = full_y.at[:, :m, :, :].set(out_y)
         y_y = jnp.fft.irfft(full_y, n=h, axis=1)
 

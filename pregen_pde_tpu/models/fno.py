@@ -64,9 +64,11 @@ class SpectralConv2d(nn.Module):
         top = jnp.einsum("bxyi,ixyo->bxyo", x_hat[:, :m1, :m2, :], w_pos)
         bot = jnp.einsum("bxyi,ixyo->bxyo", x_hat[:, -m1:, :m2, :], w_neg)
 
-        out_hat = jnp.zeros(
-            (b, h, w // 2 + 1, self.out_channels), dtype=x_hat.dtype
-        )
+        # build the complex zero buffer ON DEVICE (lax.complex of real zeros):
+        # eager host→device transfer of complex constants is unimplemented on
+        # tunneled TPU backends, so never materialize complex eagerly
+        zr = jnp.zeros((b, h, w // 2 + 1, self.out_channels), jnp.float32)
+        out_hat = jax.lax.complex(zr, zr)
         out_hat = out_hat.at[:, :m1, :m2, :].set(top)
         out_hat = out_hat.at[:, -m1:, :m2, :].set(bot)
         return jnp.fft.irfft2(out_hat, s=(h, w), axes=(1, 2)).astype(x.dtype)

@@ -52,11 +52,13 @@ class DistributedNSVorticitySolver:
         self.visc_den = put(1.0 / (1.0 + 0.5 * dt * nu_k2))
         self.dt = dt
         if forcing is not None:
+            # transfer REAL and convert on device (complex host→device
+            # transfers are unimplemented on tunneled TPU backends)
             f_rows = jax.device_put(
-                jnp.asarray(forcing, jnp.complex64),
+                jnp.asarray(forcing, jnp.float32),
                 NamedSharding(mesh, P(axis, None)),
             )
-            self.f_hat = self.fft2(f_rows)
+            self.f_hat = self.fft2(f_rows.astype(jnp.complex64))
         else:
             self.f_hat = None
 

@@ -149,6 +149,10 @@ class Trainer:
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx
         )
+        # `step` is a Python int; materialize it as a device array — some
+        # backends (the axon TPU tunnel) don't implement device_put of typed
+        # host scalars during jit arg sharding
+        state = state.replace(step=jnp.zeros((), jnp.int32))
         # replicate model state over the mesh; batches get the data axis
         state = jax.device_put(state, replicated(self.mesh))
         self.state = state

@@ -37,14 +37,22 @@ class _ConfigBase:
 
 
 def _filter_fields(cls, d: dict) -> dict:
+    import typing
+
+    # resolve string annotations (`from __future__ import annotations` makes
+    # fld.type a str, so is_dataclass(fld.type) would never fire)
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
     names = {f.name for f in dataclasses.fields(cls)}
     out = {}
     for k, v in d.items():
         if k not in names:
             raise KeyError(f"unknown config field {k!r} for {cls.__name__}")
-        fld = next(f for f in dataclasses.fields(cls) if f.name == k)
-        if dataclasses.is_dataclass(fld.type) and isinstance(v, dict):
-            v = fld.type(**_filter_fields(fld.type, v))
+        ftype = hints.get(k)
+        if ftype is not None and dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = ftype(**_filter_fields(ftype, v))
         out[k] = v
     return out
 

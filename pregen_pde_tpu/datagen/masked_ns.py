@@ -73,8 +73,12 @@ def sample_masks(key: jax.Array, cfg: MaskedNSConfig, n: int) -> jax.Array:
         keys = jax.random.split(key, n)
         return jax.vmap(lambda k: sample_single_hole(k, res))(keys)
     if cfg.pipeline == "fpo_multi_hole":
+        # reference holes are 16 cells at 128² (= res/8); scale for other grids
+        hole_cells = max(res // 8, 4)
         keys = jax.random.split(key, n)
-        return jax.vmap(lambda k: sample_multi_holes(k, res)[0])(keys)
+        return jax.vmap(
+            lambda k: sample_multi_holes(k, res, hole_cells=hole_cells)[0]
+        )(keys)
     if cfg.pipeline == "ldc_regular":
         return jnp.broadcast_to(no_hole_mask(res)[None], (n, res, res))
     raise ValueError(cfg.pipeline)
@@ -127,7 +131,12 @@ def generate_masked_ns_batch(
         jax.vmap(solver.make_trajectory_fn(), in_axes=(0, 0, None, None))
     )
     for horizon in np.unique(end_t_np):
-        idx = np.nonzero(end_t_np == horizon)[0]
+        idx_raw = np.nonzero(end_t_np == horizon)[0]
+        # pad the bucket to the next power of two: ≤log2(batch) executables
+        # total instead of one minutes-scale compile per bucket size
+        n_real = len(idx_raw)
+        size = 1 << (n_real - 1).bit_length()
+        idx = np.concatenate([idx_raw, np.full(size - n_real, idx_raw[0])])
         # per-bucket CFL-stable dt from the bucket's fastest inlet/lid
         dt_b = cfl_dt(cfg, float(u_max_np[idx].max()))
         total_steps = int(round(float(horizon) / dt_b))
@@ -138,11 +147,10 @@ def generate_masked_ns_batch(
             jnp.asarray(inner, jnp.int32),
             jnp.asarray(dt_b, jnp.float32),
         )
-        frames = np.asarray(jax.device_get(frames))  # (b, T, res, res, 3)
-        b, t = frames.shape[:2]
-        out[idx, :, :, :, 0:3] = frames
-        out[idx, :, :, :, 3] = re_norm_np[idx, None, None, None]
-        out[idx, :, :, :, 4] = masks_np[idx, None, :, :]
-        out[idx, :, :, :, 5] = sdfs_np[idx, None, :, :]
+        frames = np.asarray(jax.device_get(frames))[:n_real]
+        out[idx_raw, :, :, :, 0:3] = frames
+        out[idx_raw, :, :, :, 3] = re_norm_np[idx_raw, None, None, None]
+        out[idx_raw, :, :, :, 4] = masks_np[idx_raw, None, :, :]
+        out[idx_raw, :, :, :, 5] = sdfs_np[idx_raw, None, :, :]
     return out
 

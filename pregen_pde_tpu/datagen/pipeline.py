@@ -155,6 +155,15 @@ def generate_ns_batch(
     re_norm = schedules.normalize_re(re)
     nu = schedules.viscosity_from_re(re)
 
+    def _pad_pow2(idx: np.ndarray) -> tuple[np.ndarray, int]:
+        """Pad a bucket's index set to the next power of two by repeating the
+        first element, so every bucket reuses one of ≤log2(batch) compiled
+        executables instead of compiling per bucket size (compiles through the
+        TPU tunnel are minutes-scale; the padded rows are discarded)."""
+        n = len(idx)
+        size = 1 << (n - 1).bit_length()
+        return np.concatenate([idx, np.full(size - n, idx[0])]), n
+
     # host-side bucketing by quantized horizon (≤27 distinct values)
     end_t_np = np.asarray(end_t)
     keys_np = np.asarray(jax.random.key_data(keys))
@@ -164,7 +173,8 @@ def generate_ns_batch(
         np.float32,
     )
     for horizon in np.unique(end_t_np):
-        idx = np.nonzero(end_t_np == horizon)[0]
+        idx_raw = np.nonzero(end_t_np == horizon)[0]
+        idx, n_real = _pad_pow2(idx_raw)
         # horizon is in "schedule seconds"; map onto solver time budget:
         # steps = horizon / dt, split across n_snapshots
         total_steps = int(round(float(horizon) / cfg.dt))
@@ -183,7 +193,7 @@ def generate_ns_batch(
             gen_cfg.grf_tau,
             gen_cfg.grf_sigma,
         )
-        out[idx] = np.asarray(jax.device_get(res))
+        out[idx_raw] = np.asarray(jax.device_get(res))[:n_real]
     return out
 
 

@@ -48,10 +48,12 @@ def accumulation_error(
     for s in range(0, n, batch_size):
         idx = np.arange(start + s, start + min(s + batch_size, n))
         x = jnp.asarray(_prep_inputs(dataset, idx, out_channels))
+        ts = dataset.cfg.time_step_size
         for step in range(1, max_steps + 1):
-            t = jnp.full((x.shape[0],), 1 / TIME_NORMALIZER, x.dtype)
+            lead = ts / TIME_NORMALIZER  # one time_step_size jump per AR step
+            t = jnp.full((x.shape[0],), lead, x.dtype)
             if dataset.cfg.time_input:
-                tch = jnp.full((*x.shape[:3], 1), 1 / TIME_NORMALIZER, x.dtype)
+                tch = jnp.full((*x.shape[:3], 1), lead, x.dtype)
                 x = jnp.concatenate([x[..., :-1], tch], axis=-1)
             pred = fwd({"params": params}, x, t)
             lab = dataset.data[idx, step * dataset.cfg.time_step_size,
@@ -87,7 +89,7 @@ def resolution_eval(
             idx = np.arange(start + s, start + min(s + batch_size, n))
             x = jnp.asarray(_prep_inputs(dataset, idx, out_channels))
             x = fft_resize(x, res)
-            t = jnp.full((x.shape[0],), 1 / TIME_NORMALIZER, x.dtype)
+            t = jnp.full((x.shape[0],), ts / TIME_NORMALIZER, x.dtype)
             pred = fwd({"params": params}, x, t)
             lab = dataset.data[idx, ts, :, :, :out_channels].astype(np.float32)
             lab = (lab - dataset.mean) / dataset.std

@@ -31,18 +31,21 @@ def rollout_pattern(
     pattern: Sequence[int],
     time_channel: bool = True,
     out_channels: int = 3,
+    time_step_size: int = 1,
 ) -> list[jax.Array]:
     """Run the AR pattern, returning the prediction after each jump.
 
     The prediction overwrites input channels [0, out_channels); the lead-time
-    channel (last) is rewritten to jump/19 each step (reference
-    `TestCNO_ALL.py:124-188`)."""
+    channel (last) is rewritten each step to jump·time_step_size/19 — matching
+    the training-time convention where (t1, t2) are already time_step_size
+    multiples (reference `TestCNO_ALL.py:124-188`)."""
     preds = []
     x = inp
     for jump in pattern:
-        t = jnp.full((x.shape[0],), jump / TIME_NORMALIZER, x.dtype)
+        lead = jump * time_step_size / TIME_NORMALIZER
+        t = jnp.full((x.shape[0],), lead, x.dtype)
         if time_channel:
-            tch = jnp.full((*x.shape[:3], 1), jump / TIME_NORMALIZER, x.dtype)
+            tch = jnp.full((*x.shape[:3], 1), lead, x.dtype)
             x = jnp.concatenate([x[..., :-1], tch], axis=-1)
         pred = apply_fn({"params": params}, x, t)
         preds.append(pred)
@@ -86,6 +89,7 @@ def evaluate_patterns(
             preds = rollout_pattern(
                 fwd, params, jnp.asarray(inp), pattern,
                 time_channel=time_channel, out_channels=out_channels,
+                time_step_size=dataset.cfg.time_step_size,
             )
             lab = data[idx, t_final, :, :, :out_channels].astype(np.float32)
             lab = (lab - mean) / std

@@ -114,7 +114,11 @@ def sample_multi_holes(
     Returns (mask, num_placed).
     """
     step = hole_cells // 2
-    n_slots = (n - hole_cells) // step + 1
+    # keep a one-lattice-step margin from every boundary (the reference's
+    # randomize_holes margin, `Multiple_Hole/main.py:1029-1037`) — holes must
+    # never touch walls or the channel inlet/outlet columns
+    margin = step
+    n_slots = (n - hole_cells - 2 * margin) // step + 1
     k_count, k_pos = jax.random.split(key)
     target = jax.random.randint(k_count, (), min_holes, max_holes + 1)
     pos_keys = jax.random.split(k_pos, max_attempts)
@@ -122,8 +126,8 @@ def sample_multi_holes(
     def attempt(carry, k):
         mask, placed = carry
         kr, kc = jax.random.split(k)
-        r0 = jax.random.randint(kr, (), 0, n_slots) * step
-        c0 = jax.random.randint(kc, (), 0, n_slots) * step
+        r0 = margin + jax.random.randint(kr, (), 0, n_slots) * step
+        c0 = margin + jax.random.randint(kc, (), 0, n_slots) * step
         cand = box_mask(n, r0, c0, hole_cells, hole_cells)
         overlaps = jnp.any((cand > 0) & (mask > 0))
         accept = (~overlaps) & (placed < target)

@@ -8,8 +8,11 @@ connection (`:191-199`), and ε-guarded weight-normalized linears throughout
 (`utils/linear.py:44-105` — written there specifically because stock
 weight_norm produced NaNs).
 
-Input contract mirrors the reference (`FFNO.py:130-134`):
-[Ux, Uy, p, Re, SDF, ValidMask] channels-last; output re-masked by ValidMask.
+Masking: the reference reorders its loader output to [...,SDF,ValidMask] and
+multiplies by ValidMask (`FFNO.py:130-134`, `utils/data_loader.py:62-95`).
+THIS framework feeds the raw contract [Ux,Uy,p,Re,mask(1=hole),SDF](+time),
+so validity = 1 − mask: set ``hole_mask_channel`` (default 4) and the output
+is re-masked by (1 − hole_mask).
 """
 
 from __future__ import annotations
@@ -90,13 +93,14 @@ class FFNO2d(nn.Module):
     modes: int = 12
     width: int = 48
     n_layers: int = 4
-    mask_channel: int | None = 5  # ValidMask position in the input contract
+    hole_mask_channel: int | None = 4  # contract mask channel (1 = hole)
 
     @nn.compact
     def __call__(self, x: jax.Array, lead_time: jax.Array | None = None) -> jax.Array:
         valid = None
-        if self.mask_channel is not None and x.shape[-1] > self.mask_channel:
-            valid = x[..., self.mask_channel : self.mask_channel + 1]
+        if self.hole_mask_channel is not None and x.shape[-1] > self.hole_mask_channel:
+            hole = x[..., self.hole_mask_channel : self.hole_mask_channel + 1]
+            valid = 1.0 - jnp.clip(hole, 0.0, 1.0)
         x = WNDense(self.width)(x)
         for _ in range(self.n_layers):
             z = FactorizedSpectralLayer(self.width, self.modes)(x)

@@ -26,12 +26,23 @@ class DarcyConfig:
     tol: float = 1e-8
 
 
+def _shift_edge(a: jax.Array, axis: int, direction: int) -> jax.Array:
+    if axis == 0:
+        if direction > 0:
+            return jnp.pad(a, ((0, 1), (0, 0)), mode="edge")[1:, :]
+        return jnp.pad(a, ((1, 0), (0, 0)), mode="edge")[:-1, :]
+    if direction > 0:
+        return jnp.pad(a, ((0, 0), (0, 1)), mode="edge")[:, 1:]
+    return jnp.pad(a, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+
+
 def _face_coeffs(a: jax.Array):
-    """Arithmetic face averages of the coefficient field (n, n)."""
-    ax_e = 0.5 * (a + jnp.roll(a, -1, 1))  # east faces
-    ax_w = 0.5 * (a + jnp.roll(a, 1, 1))  # west
-    ay_n = 0.5 * (a + jnp.roll(a, -1, 0))  # north
-    ay_s = 0.5 * (a + jnp.roll(a, 1, 0))  # south
+    """Arithmetic face averages; boundary faces replicate the boundary cell's
+    coefficient (a periodic roll would couple opposite edges of the domain)."""
+    ax_e = 0.5 * (a + _shift_edge(a, 1, +1))  # east faces
+    ax_w = 0.5 * (a + _shift_edge(a, 1, -1))  # west
+    ay_n = 0.5 * (a + _shift_edge(a, 0, +1))  # north
+    ay_s = 0.5 * (a + _shift_edge(a, 0, -1))  # south
     return ax_e, ax_w, ay_n, ay_s
 
 

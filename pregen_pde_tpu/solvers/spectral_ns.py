@@ -33,17 +33,21 @@ from pregen_pde_tpu.core.grid import SpectralGrid2D
 
 
 def fno_forcing(grid: SpectralGrid2D, amplitude: float = 0.1) -> np.ndarray:
-    """f(x,y) = A (sin(2π(x+y)) + cos(2π(x+y))) — the classic FNO-dataset forcing."""
-    x, y = grid.x[0], grid.x[1]
-    s = 2.0 * np.pi * (x + y) / grid.length
+    """f(x,y) = A (sin(2π(x+y)) + cos(2π(x+y))) — the classic FNO-dataset
+    forcing (symmetric in x and y, so axis labels are immaterial here)."""
+    a, b = grid.x[0], grid.x[1]
+    s = 2.0 * np.pi * (a + b) / grid.length
     return amplitude * (np.sin(s) + np.cos(s))
 
 
 def kolmogorov_forcing(
     grid: SpectralGrid2D, wavenumber: int = 4, amplitude: float = 1.0
 ) -> np.ndarray:
-    """Vorticity-form Kolmogorov forcing: curl of A sin(k y) x̂ → −A k cos(k y)."""
-    y = grid.x[1]
+    """Vorticity-form Kolmogorov forcing: curl of A sin(k y) x̂ → −A k cos(k y).
+
+    Solver convention: axis 0 is y (the ky/full-FFT axis) — grid.x[0] varies
+    along axis 0."""
+    y = grid.x[0]
     k = 2.0 * np.pi * wavenumber / grid.length
     return -amplitude * k * np.cos(k * y)
 

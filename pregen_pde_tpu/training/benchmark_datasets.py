@@ -155,8 +155,14 @@ class BenchmarkTimeDataset:
             self.multiplier = 1
 
         n_max = min(spec.n_max, _count_samples(self.reader))
+        n_val, n_test = self.cfg.n_val, self.cfg.n_test
+        if n_max < n_val + n_test + 1:
+            raise ValueError(
+                f"{name}: file has {n_max} samples but the split needs "
+                f"n_val({n_val}) + n_test({n_test}) + >=1 train"
+            )
         if which == "train":
-            avail = n_max - spec.n_val - spec.n_test
+            avail = n_max - n_val - n_test
             n = num_trajectories if num_trajectories is not None else avail
             # reference convention: -1/-2/-8 → all/half/eighth
             # (`scOT/problems/base.py:242-247`)
@@ -168,9 +174,9 @@ class BenchmarkTimeDataset:
                 n = avail // 8
             self.start, self.n_traj = 0, max(n, 1)
         elif which == "val":
-            self.start, self.n_traj = n_max - spec.n_val - spec.n_test, spec.n_val
+            self.start, self.n_traj = n_max - n_val - n_test, n_val
         else:
-            self.start, self.n_traj = n_max - spec.n_test, spec.n_test
+            self.start, self.n_traj = n_max - n_test, n_test
 
     @property
     def in_channels(self) -> int:

@@ -99,6 +99,11 @@ class TimePairDataset:
         self.which = which
         self.out_channels = out_channels
         n_max = data.shape[0]
+        if n_max < cfg.n_val + cfg.n_test + 1:
+            raise ValueError(
+                f"dataset has {n_max} trajectories but the split needs "
+                f"n_val({cfg.n_val}) + n_test({cfg.n_test}) + >=1 train"
+            )
         if mean is None or std is None:
             mean, std = compute_stats([data], out_channels)
         self.mean, self.std = mean, std

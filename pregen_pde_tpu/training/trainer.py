@@ -186,7 +186,10 @@ class Trainer:
         def train_step(state: TrainState, batch: dict):
             def compute(params):
                 if full_loss_fn is not None:
-                    return full_loss_fn(params, batch)
+                    # compute_dtype applies to the params handed to the custom
+                    # objective; remat does NOT wrap custom objectives (wrap
+                    # your apply_fn with jax.checkpoint yourself if needed)
+                    return full_loss_fn(cast(params), batch)
                 pred = forward(params, batch["input"], batch["time"],
                                state.apply_fn)
                 return loss_fn(pred.astype(jnp.float32), batch["label"])
@@ -219,7 +222,11 @@ class Trainer:
     # -- loops ---------------------------------------------------------------
 
     def evaluate(self, loader) -> dict:
-        eval_step = self._make_eval_step()
+        # build (and jit) the eval step once — a fresh jit wrapper per call
+        # would retrace+recompile on every validation pass
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = self._make_eval_step()
+        eval_step = self._eval_step
         preds, labs = [], []
         for batch in loader:
             sb = self._shard_batch(batch)

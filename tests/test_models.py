@@ -35,11 +35,13 @@ def test_fno_forward_and_grad():
 
 
 def test_ffno_forward_and_mask():
-    model = FFNO2d(out_channels=3, modes=4, width=16, n_layers=2, mask_channel=5)
+    # contract channel 4 = hole mask (1 = solid); output masked by 1 - mask
+    model = FFNO2d(out_channels=3, modes=4, width=16, n_layers=2,
+                   hole_mask_channel=4)
     rng = np.random.default_rng(2)
     x = rng.normal(size=(2, 16, 16, 6)).astype(np.float32)
-    x[..., 5] = 1.0
-    x[0, :4, :4, 5] = 0.0  # blocked region
+    x[..., 4] = 0.0
+    x[0, :4, :4, 4] = 1.0  # blocked (hole) region
     xj = jnp.asarray(x)
     t = jnp.ones((2,), jnp.float32)
     params = model.init(jax.random.key(0), xj, t)["params"]

@@ -5,6 +5,9 @@ from pregen_pde_tpu.training.datasets import (
     compute_stats,
     make_mixed_datasets,
 )
+from pregen_pde_tpu.training.ar import TrajectoryBatcher, homogeneous_steps, make_ar_loss
+from pregen_pde_tpu.training.benchmark_datasets import BENCHMARK_REGISTRY, get_dataset
+from pregen_pde_tpu.training.finetune import AdapterWrapper, finetune_tier_fn
 from pregen_pde_tpu.training.losses import relative_lp_loss
 from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
 
@@ -17,4 +20,11 @@ __all__ = [
     "relative_lp_loss",
     "Trainer",
     "TrainerConfig",
+    "TrajectoryBatcher",
+    "homogeneous_steps",
+    "make_ar_loss",
+    "BENCHMARK_REGISTRY",
+    "get_dataset",
+    "AdapterWrapper",
+    "finetune_tier_fn",
 ]

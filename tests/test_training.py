@@ -134,3 +134,33 @@ def test_trainer_bf16_and_remat():
         # master weights stay f32
         leaves = jax.tree_util.tree_leaves(trainer.state.params)
         assert all(l.dtype == np.float32 for l in leaves), kw
+
+
+def test_config_json_roundtrip_nested():
+    """Typed-config JSON round-trip, incl. the nested-dataclass path
+    (string annotations are resolved, not compared as str)."""
+    import dataclasses
+    from pregen_pde_tpu.core.config import NSVorticityConfig, _ConfigBase, _filter_fields
+
+    cfg = NSVorticityConfig(resolution=64, viscosity=1e-3)
+    back = NSVorticityConfig.from_json(cfg.to_json())
+    assert back == cfg
+
+    @dataclasses.dataclass(frozen=True)
+    class Outer(_ConfigBase):
+        solver: NSVorticityConfig = NSVorticityConfig()
+        name: str = "x"
+
+    outer = Outer(solver=NSVorticityConfig(resolution=32), name="y")
+    restored = Outer(**_filter_fields(Outer, __import__("json").loads(outer.to_json())))
+    assert isinstance(restored.solver, NSVorticityConfig)
+    assert restored.solver.resolution == 32 and restored.name == "y"
+
+
+def test_split_bounds_validation():
+    import pytest
+    data = _fake_data(n=4)
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1],
+                         n_val=2, n_test=2)
+    with pytest.raises(ValueError, match="split needs"):
+        TimePairDataset(data, cfg, "val")

@@ -128,6 +128,7 @@ def _cmd_train(args):
         TimePairConfig,
         TimePairDataset,
     )
+    from pregen_pde_tpu.training.native_loader import make_batch_loader
     from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
 
     data = np.asarray(_load_data(args.data))
@@ -147,7 +148,7 @@ def _cmd_train(args):
     )
     trainer = Trainer(model, tcfg)
     result = trainer.fit(
-        BatchLoader(train, args.batch_size, seed=0),
+        make_batch_loader(train, args.batch_size, seed=0),
         val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},
         log_fn=lambda rec: print(json.dumps(rec)),
     )
@@ -161,6 +162,7 @@ def _cmd_mix_sweep(args):
         TimePairConfig,
         make_mixed_datasets,
     )
+    from pregen_pde_tpu.training.native_loader import make_batch_loader
     from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
 
     hard = np.asarray(_load_data(args.hard))
@@ -180,7 +182,7 @@ def _cmd_mix_sweep(args):
             learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         ))
         trainer.fit(
-            BatchLoader(train, args.batch_size, seed=0),
+            make_batch_loader(train, args.batch_size, seed=0),
             val_loaders={
                 "val_hard": BatchLoader(vh, args.batch_size, shuffle=False),
                 "val_easy": BatchLoader(ve, args.batch_size, shuffle=False),

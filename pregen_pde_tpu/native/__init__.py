@@ -19,7 +19,8 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).parent / "shardio.cpp"
+_SRCS = [Path(__file__).parent / "shardio.cpp",
+         Path(__file__).parent / "dataload.cpp"]
 _LIB = None
 _LIB_ERR: str | None = None
 
@@ -36,14 +37,14 @@ def _load():
     if _LIB is not None or _LIB_ERR is not None:
         return _LIB
     try:
-        src = _SRC.read_bytes()
+        src = b"".join(s.read_bytes() for s in _SRCS)
         tag = hashlib.md5(src).hexdigest()[:12]
         so_path = _build_dir() / f"shardio_{tag}.so"
         if not so_path.exists():
             tmp = so_path.with_suffix(f".{os.getpid()}.tmp")
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                 str(_SRC), "-o", str(tmp)],
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread"]
+                + [str(s) for s in _SRCS] + ["-o", str(tmp)],
                 check=True, capture_output=True,
             )
             os.replace(tmp, so_path)  # atomic vs concurrent builders
@@ -72,6 +73,24 @@ def _load():
         lib.npy_read_f32.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.tp_loader_create.restype = ctypes.c_void_p
+        lib.tp_loader_create.argtypes = [f32p] + [ctypes.c_int64] * 5
+        lib.tp_gather.restype = ctypes.c_int
+        lib.tp_gather.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p, i64p, i64p, f32p, f32p,
+            f32p, ctypes.c_int64, ctypes.c_int, f32p, f32p, ctypes.c_int,
+        ]
+        lib.tp_submit.restype = ctypes.c_int
+        lib.tp_submit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p, i64p, i64p, f32p, f32p,
+            f32p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.tp_wait.restype = ctypes.c_int64
+        lib.tp_wait.argtypes = [ctypes.c_void_p, f32p, f32p]
+        lib.tp_loader_close.restype = None
+        lib.tp_loader_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception as e:  # no toolchain / build failure → python fallback
         _LIB_ERR = f"{type(e).__name__}: {e}"
@@ -135,6 +154,86 @@ class NativeShardWriter:
         (self.out_dir / f"{self.prefix}_meta.json").write_text(
             json.dumps(meta, indent=2)
         )
+
+
+class NativeTimePairGather:
+    """Zero-copy view over a contiguous float32 (N,T,H,W,C) contract tensor
+    with multithreaded batch assembly (gather + z-score + lead-time channel
+    fused in C) and an optional background-prefetch protocol
+    (`submit` → `wait`). The caller keeps `data` alive."""
+
+    def __init__(self, data: np.ndarray):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native dataload unavailable: {_LIB_ERR}")
+        assert data.ndim == 5, data.shape
+        assert data.dtype == np.float32 and data.flags["C_CONTIGUOUS"], (
+            "contract tensor must be contiguous float32"
+        )
+        self._lib = lib
+        self._data = data  # keep the buffer alive
+        self._h = lib.tp_loader_create(_as_f32_ptr(data), *map(int, data.shape))
+        self.shape = data.shape
+
+    def _idx_args(self, traj, t1, t2, tval, mean, std):
+        traj = np.ascontiguousarray(traj, np.int64)
+        t1 = np.ascontiguousarray(t1, np.int64)
+        t2 = np.ascontiguousarray(t2, np.int64)
+        tval = np.ascontiguousarray(tval, np.float32)
+        mean = np.ascontiguousarray(np.ravel(mean), np.float32)
+        std = np.ascontiguousarray(np.ravel(std), np.float32)
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        return (
+            len(traj),
+            traj.ctypes.data_as(i64), t1.ctypes.data_as(i64),
+            t2.ctypes.data_as(i64), _as_f32_ptr(tval), _as_f32_ptr(mean),
+            _as_f32_ptr(std), len(mean),
+            (traj, t1, t2, tval, mean, std),  # keepalive
+        )
+
+    def _out_bufs(self, n, oc, time_input):
+        _, _, h, w, c = self.shape
+        inp = np.empty((n, h, w, c + int(time_input)), np.float32)
+        lab = np.empty((n, h, w, oc), np.float32)
+        return inp, lab
+
+    def gather(self, traj, t1, t2, tval, mean, std, time_input=True,
+               inp_out=None, lab_out=None, n_threads: int = 2):
+        n, *args, oc, keep = self._idx_args(traj, t1, t2, tval, mean, std)
+        if inp_out is None:
+            inp_out, lab_out = self._out_bufs(n, oc, time_input)
+        rc = self._lib.tp_gather(self._h, n, *args, oc, int(time_input),
+                                 _as_f32_ptr(inp_out), _as_f32_ptr(lab_out),
+                                 n_threads)
+        if rc != 0:
+            raise IndexError(f"tp_gather failed: {rc} (index out of range?)")
+        return inp_out, lab_out
+
+    def submit(self, traj, t1, t2, tval, mean, std, time_input=True):
+        n, *args, oc, keep = self._idx_args(traj, t1, t2, tval, mean, std)
+        rc = self._lib.tp_submit(self._h, n, *args, oc, int(time_input))
+        if rc != 0:
+            raise RuntimeError(f"tp_submit failed: {rc}")
+        self._pending = (n, oc, time_input)
+
+    def wait(self):
+        n, oc, time_input = self._pending
+        inp, lab = self._out_bufs(n, oc, time_input)
+        got = self._lib.tp_wait(self._h, _as_f32_ptr(inp), _as_f32_ptr(lab))
+        if got != n:
+            raise RuntimeError(f"tp_wait failed: {got}")
+        return inp, lab
+
+    def close(self):
+        if self._h is not None:
+            self._lib.tp_loader_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def npy_write(path, arr: np.ndarray) -> None:

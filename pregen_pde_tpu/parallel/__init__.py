@@ -4,5 +4,28 @@ from pregen_pde_tpu.parallel.meshes import (
     replicated,
     shard_batch,
 )
+from pregen_pde_tpu.parallel.pipeline import (
+    make_pp_mesh,
+    pipeline_apply,
+    stack_stage_params,
+)
+from pregen_pde_tpu.parallel.tensor_parallel import (
+    channel_sharded_params,
+    make_tp_mesh,
+    make_tp_train_step,
+    shard_params,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "channel_sharded_params",
+    "make_tp_mesh",
+    "make_tp_train_step",
+    "shard_params",
+    "make_pp_mesh",
+    "pipeline_apply",
+    "stack_stage_params",
+]

@@ -1,9 +1,13 @@
-"""Small shared utilities — counterparts of `torch_utils/misc.py`.
+"""Small shared utilities — counterparts of `torch_utils/misc.py` + `dnnlib/util.py`.
 
 - `assert_shape` ≡ `misc.assert_shape :74` (None = wildcard dim);
 - `count_params` / `count_trainable` ≡ `scOT/utils.py:91-97`;
 - `module_summary` ≡ `misc.print_module_summary :188` (tabulated via flax);
 - `infinite_batches` ≡ `misc.InfiniteSampler :103`;
+- `EasyDict` / `TeeLogger` / `format_time` / `open_url` ≡ `dnnlib/util.py`
+  (`:29`, `:43`, `:122`, `:343`); `open_url` is gated to local paths / cache
+  hits — this environment has zero network egress, so remote fetches raise
+  with a clear message instead of hanging;
 - model-code persistence (`torch_utils/persistence.py`) is replaced by the
   config-as-data principle: orbax checkpoints + the typed config round-trip
   (`core.config`), no source pickling.
@@ -11,7 +15,10 @@
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+import hashlib
+import os
+import sys
+from typing import IO, Any, Iterable, Sequence
 
 import jax
 import numpy as np
@@ -51,3 +58,96 @@ def infinite_batches(loader) -> Iterable:
     """Endless iteration over a BatchLoader (≡ InfiniteSampler)."""
     while True:
         yield from loader
+
+
+class EasyDict(dict):
+    """dict with attribute access (≡ `dnnlib/util.py:29`). Used for ad-hoc
+    experiment records; durable configs use `core.config` dataclasses."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __delattr__(self, name: str) -> None:
+        del self[name]
+
+
+class TeeLogger:
+    """Tee stdout (and optionally stderr) to a log file
+    (≡ `dnnlib/util.py:43` Logger). Use as a context manager."""
+
+    def __init__(self, file_name: str, mode: str = "a", should_flush: bool = True,
+                 tee_stderr: bool = False):
+        self.file: IO = open(file_name, mode)
+        self.should_flush = should_flush
+        self.tee_stderr = tee_stderr
+        self._stdout = None
+        self._stderr = None
+
+    def write(self, text: str) -> None:
+        self.file.write(text)
+        (self._stdout or sys.__stdout__).write(text)
+        if self.should_flush:
+            self.flush()
+
+    def flush(self) -> None:
+        self.file.flush()
+        (self._stdout or sys.__stdout__).flush()
+
+    def __enter__(self) -> "TeeLogger":
+        self._stdout, sys.stdout = sys.stdout, self
+        if self.tee_stderr:
+            self._stderr, sys.stderr = sys.stderr, self
+        return self
+
+    def __exit__(self, *exc) -> None:
+        sys.stdout = self._stdout
+        if self.tee_stderr:
+            sys.stderr = self._stderr
+        self.file.close()
+
+
+def format_time(seconds: float) -> str:
+    """Human-readable elapsed time (≡ `dnnlib/util.py:122`)."""
+    s = int(round(seconds))
+    if s < 60:
+        return f"{s}s"
+    if s < 3600:
+        return f"{s // 60}m {s % 60:02d}s"
+    if s < 86400:
+        return f"{s // 3600}h {(s // 60) % 60:02d}m {s % 60:02d}s"
+    return f"{s // 86400}d {(s // 3600) % 24:02d}h {(s // 60) % 60:02d}m"
+
+
+def open_url(url: str, cache_dir: str | None = None, return_filename: bool = False):
+    """Resolve a URL to a local file (≡ `dnnlib/util.py:343`), gated for this
+    zero-egress environment: `file://` URLs and plain paths open directly;
+    `http(s)://` URLs are served from `cache_dir` if previously cached there
+    (keyed by URL hash, as the reference does), otherwise raise RuntimeError —
+    we never attempt a network fetch."""
+    if url.startswith("file://"):
+        url = url[len("file://"):]
+    if os.path.exists(url):
+        return url if return_filename else open(url, "rb")
+    if "://" not in url:
+        raise FileNotFoundError(url)
+    cache_dir = cache_dir or os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "pregen_pde_tpu",
+    )
+    url_md5 = hashlib.md5(url.encode("utf-8")).hexdigest()
+    if os.path.isdir(cache_dir):
+        for name in os.listdir(cache_dir):
+            if name.startswith(url_md5):
+                path = os.path.join(cache_dir, name)
+                return path if return_filename else open(path, "rb")
+    raise RuntimeError(
+        f"open_url({url!r}): no network egress in this environment and no "
+        f"cached copy under {cache_dir}; place the file there named "
+        f"'{url_md5}_<basename>' or pass a local path."
+    )

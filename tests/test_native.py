@@ -61,3 +61,95 @@ def test_1d_and_odd_shapes(tmp_path):
         p = tmp_path / f"s{len(shape)}.npy"
         native.npy_write(p, arr)
         np.testing.assert_array_equal(np.load(p), arr)
+
+
+# ---------------------------------------------------------------------------
+# native time-pair batch assembly (dataload.cpp)
+# ---------------------------------------------------------------------------
+def _fake_contract(n=6, t=5, h=8, w=8, c=6, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, t, h, w, c)).astype(np.float32)
+
+
+def test_native_gather_matches_python_getitem():
+    from pregen_pde_tpu import native
+    from pregen_pde_tpu.training.datasets import TimePairConfig, TimePairDataset
+
+    if not native.available():
+        import pytest
+
+        pytest.skip(f"no native toolchain: {native.load_error()}")
+
+    data = _fake_contract()
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1, 2],
+                         n_val=1, n_test=1)
+    ds = TimePairDataset(data, cfg, "train")
+    g = native.NativeTimePairGather(np.ascontiguousarray(data))
+
+    # every sample: native gather == python __getitem__
+    from pregen_pde_tpu.training.native_loader import _index_tables
+
+    traj, t1, t2, time = _index_tables(ds)
+    inp, lab = g.gather(traj, t1, t2, time, ds.mean, ds.std,
+                        time_input=cfg.time_input)
+    for i in range(len(ds)):
+        t_py, inp_py, lab_py = ds[i]
+        np.testing.assert_allclose(inp[i], inp_py, atol=1e-6, err_msg=str(i))
+        np.testing.assert_allclose(lab[i], lab_py, atol=1e-6)
+        assert abs(float(time[i]) - float(t_py)) < 1e-7
+
+    # async protocol
+    g.submit(traj[:4], t1[:4], t2[:4], time[:4], ds.mean, ds.std,
+             cfg.time_input)
+    inp2, lab2 = g.wait()
+    np.testing.assert_allclose(inp2, inp[:4])
+    np.testing.assert_allclose(lab2, lab[:4])
+
+    # out-of-range index is rejected, not UB
+    import pytest
+
+    with pytest.raises(IndexError):
+        g.gather(np.array([99]), t1[:1], t2[:1], time[:1], ds.mean, ds.std)
+    g.close()
+
+
+def test_native_batch_loader_matches_python_loader():
+    from pregen_pde_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip(f"no native toolchain: {native.load_error()}")
+
+    from pregen_pde_tpu.training.datasets import (
+        BatchLoader,
+        TimePairConfig,
+        TimePairDataset,
+        make_mixed_datasets,
+    )
+    from pregen_pde_tpu.training.native_loader import NativeBatchLoader
+
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1],
+                         n_val=1, n_test=1)
+    hard = _fake_contract(seed=1)
+    easy = _fake_contract(seed=2)
+    train, *_ = make_mixed_datasets(hard, easy, alpha=0.5,
+                                    total_trajectories=4, cfg=cfg)
+
+    py = BatchLoader(train, batch_size=4, shuffle=True, seed=7)
+    nat = NativeBatchLoader(train, batch_size=4, shuffle=True, seed=7)
+    assert len(py) == len(nat)
+    def canon(batch):
+        # canonical row order (native regroups part-contiguously within a
+        # shuffled batch, so compare batches as multisets of samples)
+        flat = np.concatenate(
+            [batch["time"][:, None],
+             batch["input"].reshape(len(batch["time"]), -1),
+             batch["label"].reshape(len(batch["time"]), -1)],
+            axis=1,
+        )
+        return flat[np.lexsort(flat.T[::-1])]
+
+    for b_py, b_nat in zip(py, nat):
+        np.testing.assert_allclose(canon(b_py), canon(b_nat), atol=1e-6)
+    nat.close()

@@ -197,3 +197,91 @@ def test_matmul_path_matches_conv_path():
             np.asarray(a), np.asarray(b), atol=1e-5,
             err_msg=f"{up} {down} {pad} {flip} {gain}",
         )
+
+
+# ---------------------------------------------------------------------------
+# conv2d_resample (reference torch_utils/ops/conv2d_resample.py:39-134)
+# ---------------------------------------------------------------------------
+def np_conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
+                       flip_weight=True, flip_filter=False):
+    kh, kw = w.shape[0], w.shape[1]
+    if f is None:
+        fw = fh = 1
+    elif f.ndim == 1:
+        fw = fh = f.shape[0]
+    else:
+        fh, fw = f.shape
+    if isinstance(padding, int):
+        px0 = px1 = py0 = py1 = padding
+    else:
+        px0, px1, py0, py1 = padding
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+    x = np_upfirdn2d(x, f if up > 1 else None, up=up,
+                     padding=[px0, px1, py0, py1], gain=up**2,
+                     flip_filter=flip_filter)
+    B, H, W, Cin = x.shape
+    Cout = w.shape[3]
+    cpg, opg = Cin // groups, Cout // groups
+    out = np.zeros((B, H - kh + 1, W - kw + 1, Cout), np.float64)
+    op = scipy.signal.correlate2d if flip_weight else scipy.signal.convolve2d
+    for b in range(B):
+        for g in range(groups):
+            for oc in range(opg):
+                for ic in range(cpg):
+                    out[b, :, :, g * opg + oc] += op(
+                        x[b, :, :, g * cpg + ic], w[:, :, ic, g * opg + oc],
+                        mode="valid",
+                    )
+    if down > 1:
+        out = np_upfirdn2d(out, f, down=down, flip_filter=flip_filter)
+    return out
+
+
+def test_conv2d_resample_matches_oracle():
+    from pregen_pde_tpu.ops.conv2d_resample import conv2d_resample
+
+    f = design_lowpass_filter(4, 0.4, 0.4, 2.0)
+    for up, down, k, pad, groups, flip_w in [
+        (1, 1, 3, 1, 1, True),
+        (2, 1, 3, 0, 1, True),
+        (1, 2, 1, 0, 2, True),
+        (2, 2, 3, 2, 1, False),
+        (1, 1, 1, 0, 4, True),
+    ]:
+        cin, cout = 4, 8
+        x = _rand((2, 10, 12, cin), seed=up * 100 + down * 10 + k)
+        w = _rand((k, k, cin // groups, cout), seed=k) * 0.3
+        got = conv2d_resample(jnp.asarray(x), jnp.asarray(w), f, up=up,
+                              down=down, padding=pad, groups=groups,
+                              flip_weight=flip_w)
+        want = np_conv2d_resample(x, w, np.asarray(f), up=up, down=down,
+                                  padding=pad, groups=groups,
+                                  flip_weight=flip_w)
+        # the FIR stages run through f32 operator matrices → ~1e-7 abs noise
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=1e-5,
+            err_msg=f"up={up} down={down} k={k} pad={pad} g={groups}",
+        )
+
+
+def test_conv2d_resample_grad_finite():
+    from pregen_pde_tpu.ops.conv2d_resample import conv2d_resample
+
+    f = design_lowpass_filter(4, 0.4, 0.4, 2.0)
+    x = jnp.asarray(_rand((1, 8, 8, 2), 3))
+    w = jnp.asarray(_rand((3, 3, 2, 4), 4)) * 0.3
+
+    def loss(x, w):
+        return jnp.sum(conv2d_resample(x, w, f, up=2, down=2, padding=1) ** 2)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    assert np.isfinite(np.asarray(gx)).all() and np.isfinite(np.asarray(gw)).all()

@@ -12,7 +12,11 @@ through the tunnel — CLAUDE.md).
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +31,9 @@ def measure(model, batch, in_ch, out_ch, size, compute_dtype=None, reps=10):
     x = jnp.asarray(rng.normal(size=(batch, size, size, in_ch)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(batch, size, size, out_ch)).astype(np.float32))
     t = jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32))
-    params = model.init(jax.random.key(0), x, t)["params"]
+    # jit the init: eager flax init dispatches thousands of tiny programs
+    # through the tunnel (minutes); jitted it is one compile
+    params = jax.jit(lambda k: model.init(k, x, t)["params"])(jax.random.key(0))
     tx = optax.adamw(1e-4)
     opt_state = tx.init(params)
 
@@ -37,7 +43,9 @@ def measure(model, batch, in_ch, out_ch, size, compute_dtype=None, reps=10):
                            cast(x), t)
         return relative_lp_loss(pred.astype(jnp.float32), y)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

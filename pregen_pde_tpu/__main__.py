@@ -133,9 +133,15 @@ def _cmd_train(args):
 
     data = np.asarray(_load_data(args.data))
     t_steps = data.shape[1] - 1
+    # transition grammar ≡ `TrainCNO_time_L.py:151-163`
+    allowed = {
+        "one": [1],
+        "one2all": None,  # (0 → t) pairs (TimePairConfig's None semantics)
+        "all": list(range(1, t_steps + 1)),
+    }[args.transitions]
     cfg = TimePairConfig(
         max_num_time_steps=t_steps,
-        allowed_transitions=[1, 2] if args.transitions == "one" else None,
+        allowed_transitions=allowed,
         n_val=max(2, data.shape[0] // 10),
         n_test=max(2, data.shape[0] // 10),
     )
@@ -197,10 +203,11 @@ def _cmd_mix_sweep(args):
     print(json.dumps(results))
 
 
-def _cmd_evaluate(args):
-    """Rollout-pattern evaluation (≡ `TestCNO_ALL.py` patterns) + accumulation
-    error, from an orbax checkpoint."""
+def _evaluate_ckpt(ckpt_dir, model_name, data, patterns_str, batch_size):
+    """Rollout-pattern + accumulation-error evaluation of one checkpoint dir
+    (shared by the `evaluate` and `sweep-eval` commands)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
     import orbax.checkpoint as ocp
     from pathlib import Path
@@ -209,7 +216,6 @@ def _cmd_evaluate(args):
     from pregen_pde_tpu.evalx.rollout import evaluate_patterns
     from pregen_pde_tpu.training.datasets import TimePairConfig, TimePairDataset
 
-    data = np.asarray(_load_data(args.data))
     t_steps = data.shape[1] - 1
     cfg = TimePairConfig(
         max_num_time_steps=t_steps, allowed_transitions=None,
@@ -217,31 +223,59 @@ def _cmd_evaluate(args):
     )
     train = TimePairDataset(data, cfg, "train")
     test = TimePairDataset(data, cfg, "test", mean=train.mean, std=train.std)
-    model = _make_model(args.model, data.shape[2])
-    # restore latest checkpoint
-    mgr = ocp.CheckpointManager(Path(args.ckpt).absolute())
+    model = _make_model(model_name, data.shape[2])
+    mgr = ocp.CheckpointManager(Path(ckpt_dir).absolute())
     step = mgr.latest_step()
     if step is None:
-        raise SystemExit(f"no checkpoint found in {args.ckpt}")
-    import jax.numpy as jnp
-
+        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
     _, inp0, _ = test[0]
-    template = model.init(
-        jax.random.key(0), jnp.asarray(inp0)[None], jnp.ones((1,))
-    )["params"]
+    template = jax.jit(
+        lambda k: model.init(k, jnp.asarray(inp0)[None], jnp.ones((1,)))["params"]
+    )(jax.random.key(0))
     params = mgr.restore(step, args=ocp.args.StandardRestore(
         jax.device_get(template)))
     patterns = [
         [int(x) for x in p.strip("[] ").split(",")]
-        for p in args.patterns.split(";")
+        for p in patterns_str.split(";")
     ]
     patterns = [p for p in patterns if sum(p) <= t_steps]
     res = evaluate_patterns(model.apply, params, test, patterns,
-                            batch_size=args.batch_size)
+                            batch_size=batch_size)
     acc = accumulation_error(model.apply, params, test,
                              max_steps=min(7, t_steps),
-                             batch_size=args.batch_size)
-    print(json.dumps({"patterns": res, "accumulation": acc}))
+                             batch_size=batch_size)
+    return {"patterns": res, "accumulation": acc}
+
+
+def _cmd_evaluate(args):
+    """Rollout-pattern evaluation (≡ `TestCNO_ALL.py` patterns) + accumulation
+    error, from an orbax checkpoint."""
+    import numpy as np
+
+    data = np.asarray(_load_data(args.data))
+    try:
+        res = _evaluate_ckpt(args.ckpt, args.model, data, args.patterns,
+                             args.batch_size)
+    except FileNotFoundError as e:  # clean CLI error, no traceback
+        raise SystemExit(str(e)) from None
+    print(json.dumps(res))
+
+
+def _cmd_sweep_eval(args):
+    """Evaluate every run under a sweep directory (≡ `scOT/inference.py`
+    eval_sweep `:394-407`, minus the wandb dependency)."""
+    import numpy as np
+
+    from pregen_pde_tpu.evalx.sweep import sweep_eval
+
+    data = np.asarray(_load_data(args.data))
+    results = sweep_eval(
+        args.dir,
+        lambda run_dir: _evaluate_ckpt(run_dir, args.model, data,
+                                       args.patterns, args.batch_size),
+        out_path=args.out,
+    )
+    print(json.dumps(results))
 
 
 def _cmd_preflight(args):
@@ -286,7 +320,10 @@ def main(argv=None):
     t.add_argument("--epochs", type=int, default=10)
     t.add_argument("--batch-size", type=int, default=16)
     t.add_argument("--lr", type=float, default=5e-5)
-    t.add_argument("--transitions", default="one")
+    # ≡ reference `TrainCNO_time_L.py:151-163`: one = adjacent single steps,
+    # one2all = (0 → t) pairs only, all = every jump size
+    t.add_argument("--transitions", default="one",
+                   choices=["one", "one2all", "all"])
     t.add_argument("--ckpt", default=None)
     t.set_defaults(fn=_cmd_train)
 
@@ -308,6 +345,15 @@ def main(argv=None):
     e.add_argument("--patterns", default="[7];[2,2,2,1];[1,1,1,1,1,1,1]")
     e.add_argument("--batch-size", type=int, default=16)
     e.set_defaults(fn=_cmd_evaluate)
+
+    se = sub.add_parser("sweep-eval")
+    se.add_argument("--dir", required=True, help="directory of run dirs")
+    se.add_argument("--model", default="fno")
+    se.add_argument("--data", required=True)
+    se.add_argument("--patterns", default="[7];[2,2,2,1];[1,1,1,1,1,1,1]")
+    se.add_argument("--batch-size", type=int, default=16)
+    se.add_argument("--out", default=None, help="JSONL output path")
+    se.set_defaults(fn=_cmd_sweep_eval)
 
     f = sub.add_parser("preflight")
     f.add_argument("--data", required=True)

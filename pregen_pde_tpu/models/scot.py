@@ -131,9 +131,13 @@ class WindowAttentionV2(nn.Module):
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
         k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        # NOTE: the fill value must be strong-typed — a python-float fill
+        # makes the param weak_type, and a weak param re-traces the whole
+        # train step twice (param then optimizer state flip to strong after
+        # one update), costing two full recompiles through the TPU tunnel.
         logit_scale = self.param(
             "logit_scale",
-            lambda key, shape: jnp.full(shape, float(np.log(10.0))),
+            lambda key, shape: jnp.full(shape, jnp.float32(np.log(10.0))),
             (h, 1, 1),
         )
         scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
@@ -290,9 +294,11 @@ class ConvNeXtBlock(nn.Module):
         x = nn.Dense(4 * self.dim, name="pwconv1")(x)
         x = nn.gelu(x)
         x = nn.Dense(self.dim, name="pwconv2")(x)
+        # strong-typed fill (weak params force train-step retraces; see
+        # WindowAttentionV2.logit_scale)
         gamma = self.param(
             "layer_scale",
-            lambda key, shape: jnp.full(shape, self.layer_scale_init),
+            lambda key, shape: jnp.full(shape, jnp.float32(self.layer_scale_init)),
             (self.dim,),
         )
         return inp + gamma * x

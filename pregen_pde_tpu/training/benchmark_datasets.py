@@ -223,11 +223,46 @@ def _count_samples(reader) -> int:
 FAMILY_SAMPLE_CAPS = {"ns": 19640, "eul": 9640}
 
 
-def get_dataset(name: str, data_path: str, which: str = "train", **kw):
+# `.out` rollout horizon ≡ `scOT/problems/base.py:135-137,162-165,177-180`:
+# same file, evaluated beyond the training horizon (10 jumps of 2 vs 7 of 2)
+_OUT_TIME_SETTINGS = dict(max_num_time_steps=10, time_step_size=2)
+
+
+def get_dataset(name, data_path: str, which: str = "train", **kw):
     """Name → dataset dispatcher ≡ `load_utils._load_dataset :4` and
-    `scOT/problems/base.py get_dataset :17`. `ns_custom` loads the framework's
-    own generated npy contract."""
-    if name == "ns_custom":
+    `scOT/problems/base.py get_dataset :17-183`. `ns_custom` loads the
+    framework's own generated npy contract. Name modifiers follow the
+    reference: a trailing ``.out`` selects the longer out-of-distribution
+    rollout horizon on the same file; ``.time`` marks a steady problem as
+    time-wrapped (built in here — steady specs already emit constant time=1);
+    a list of names concatenates datasets."""
+    if isinstance(name, (list, tuple)):
+        from pregen_pde_tpu.training.datasets import ConcatDataset
+
+        return ConcatDataset([get_dataset(n, data_path, which, **kw) for n in name])
+
+    base = name
+    out_mode = False
+    for _ in range(2):  # modifiers compose in either order
+        if base.endswith(".out"):
+            base, out_mode = base[: -len(".out")], True
+        if base.endswith(".time"):
+            base = base[: -len(".time")]  # TimeWrapper semantics are built in
+
+    if out_mode and "cfg" not in kw:
+        spec = BENCHMARK_REGISTRY.get(base)
+        max_t = spec.max_time if spec is not None else None
+        n_steps = _OUT_TIME_SETTINGS["max_num_time_steps"]
+        step = _OUT_TIME_SETTINGS["time_step_size"]
+        if max_t is not None:
+            n_steps = min(n_steps, max_t // step)
+        kw["cfg"] = TimePairConfig(
+            max_num_time_steps=n_steps, time_step_size=step,
+            allowed_transitions=None,
+            n_val=spec.n_val if spec else 2, n_test=spec.n_test if spec else 2,
+        )
+
+    if base == "ns_custom":
         from pregen_pde_tpu.training.datasets import TimePairDataset
 
         data = np.load(data_path, mmap_mode="r")
@@ -235,8 +270,8 @@ def get_dataset(name: str, data_path: str, which: str = "train", **kw):
             max_num_time_steps=data.shape[1] - 1, allowed_transitions=None,
         )
         return TimePairDataset(np.asarray(data), cfg, which, **kw)
-    if name in BENCHMARK_REGISTRY:
-        return BenchmarkTimeDataset(name, data_path, which, **kw)
+    if base in BENCHMARK_REGISTRY:
+        return BenchmarkTimeDataset(base, data_path, which, **kw)
     raise KeyError(
         f"unknown dataset {name!r}; known: ns_custom, {sorted(BENCHMARK_REGISTRY)}"
     )

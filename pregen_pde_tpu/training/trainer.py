@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import time as _time
+from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Sequence
 
@@ -87,10 +88,20 @@ def build_optimizer(cfg: TrainerConfig, steps_per_epoch: int,
             )
         return optax.constant_schedule(lr)
 
+    # no-decay group ≡ the reference's standard/no-decay param split
+    # (`scOT/trainer.py:77-227`: biases + all LayerNorm params excluded from
+    # weight decay): decay only matrix-shaped leaves (kernels, spectral
+    # weights); vectors/scalars (biases, norm scales, FILM affines) skip it.
+    def decay_mask(tree):
+        return jax.tree_util.tree_map(
+            lambda l: getattr(l, "ndim", 0) >= 2, tree
+        )
+
     def make_tx(lr):
         return optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(make_sched(lr), weight_decay=cfg.weight_decay),
+            optax.adamw(make_sched(lr), weight_decay=cfg.weight_decay,
+                        mask=decay_mask),
         )
 
     if cfg.lr_tiers and tier_fn is not None and params is not None:
@@ -144,7 +155,19 @@ class Trainer:
             t = jnp.asarray(sample_batch["time"][:1])
         else:
             t = jnp.ones((1,), inp.dtype)
-        params = self.model.init(rng, inp, t)["params"]
+        # jit the init: eager flax init dispatches thousands of tiny device
+        # programs (minutes through the TPU tunnel); jitted it is one program
+        params = jax.jit(
+            lambda r, i, tt: self.model.init(r, i, tt)["params"]
+        )(rng, inp, t)
+        # canonicalize away weak types: a weak-typed param (e.g. from a
+        # python-float jnp.full initializer) flips to strong after one
+        # optimizer update, changing the train step's input avals and forcing
+        # TWO full retraces/recompiles (params, then optimizer state) —
+        # minutes per recompile through the TPU tunnel.
+        params = jax.tree_util.tree_map(
+            lambda l: jax.lax.convert_element_type(l, l.dtype), params
+        )
         tx = build_optimizer(self.cfg, steps_per_epoch, params, self.tier_fn)
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx
@@ -182,7 +205,11 @@ class Trainer:
         if remat:
             forward = jax.checkpoint(forward, static_argnums=(3,))
 
-        @jax.jit
+        # donate the state: outputs alias inputs in place (halves peak param
+        # memory and avoids per-step buffer churn through the TPU tunnel);
+        # the fit loop reassigns self.state every step so the donated
+        # buffers are never reused
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch: dict):
             def compute(params):
                 if full_loss_fn is not None:

@@ -98,3 +98,37 @@ def test_get_dataset_dispatcher(tmp_path):
         num_trajectories=4,
     )
     assert len(ds2) > 0
+
+
+def test_out_and_time_modifiers_and_list_dispatch(tmp_path):
+    """`.out` = same file, longer rollout horizon (`problems/base.py:135-137`);
+    `.time` accepted for steady problems; list → ConcatDataset."""
+    # the `.out` defaults inherit the spec's real split sizes (40/240), so the
+    # fixture must clear n_val + n_test + 1
+    _make_fixture(tmp_path, "gauss.nc", n=285, t=21, c=2, res=8)
+
+    ds_out = get_dataset("ns_gauss.out", tmp_path, "val")
+    # OOD horizon: pairs (0, 2j), j ≤ 10 → lead times reach t=20
+    t2s = [t2 for (_, t2) in ds_out.time_indices]
+    assert max(t2s) == 20 and ds_out.cfg.time_step_size == 2
+    time, inp, lab = ds_out[len(ds_out) - 1]
+    assert inp.shape[-1] == 3
+
+    # steady `.time` accepted (constant-time wrapper is built in)
+    _make_fixture(tmp_path, "elliptic/helmholtz.nc", n=8, t=2, c=1)
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    cfg = TimePairConfig(n_val=2, n_test=2)
+    ds_steady = get_dataset("helmholtz.time", tmp_path, "val", cfg=cfg)
+    t0, inp0, lab0 = ds_steady[0]
+    assert float(t0) == 1.0
+
+    # list → ConcatDataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig as TPC
+
+    small = TPC(max_num_time_steps=2, allowed_transitions=[1], n_val=2, n_test=2)
+    both = get_dataset(["ns_gauss", "ns_gauss"], tmp_path, "val", cfg=small)
+    assert len(both) == 2 * len(get_dataset("ns_gauss", tmp_path, "val", cfg=small))
+
+    with pytest.raises(KeyError):
+        get_dataset("nonexistent.out", tmp_path)

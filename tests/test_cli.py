@@ -52,3 +52,27 @@ def test_mix_sweep_fast(tmp_path, capsys):
     assert set(res) == {"0.0", "0.5"}
     for v in res.values():
         assert "test_hard" in v and "test_easy" in v
+
+
+def test_sweep_eval_cli(tmp_path, capsys):
+    """sweep-eval iterates run dirs (fail-soft) and aggregates to JSONL."""
+    cli.main(["generate", "--workload", "ns_spectral", "--n", "8", "--out",
+              str(tmp_path), "--resolution", "16", "--batch-size", "8",
+              "--fixed-difficulty"])
+    data = str(tmp_path / "results_batch_0.npy")
+    sweep = tmp_path / "sweep"
+    for run in ("run_a", "run_b"):
+        cli.main(["train", "--model", "fno", "--data", data, "--epochs", "1",
+                  "--batch-size", "4", "--ckpt", str(sweep / run),
+                  "--transitions", "one"])
+    (sweep / "run_broken").mkdir()
+    (sweep / "run_broken" / "config.json").write_text("{}")
+    capsys.readouterr()
+    cli.main(["sweep-eval", "--dir", str(sweep), "--model", "fno", "--data",
+              data, "--patterns", "[1];[1,1]", "--batch-size", "4",
+              "--out", str(tmp_path / "sweep.jsonl")])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(res) == {"run_a", "run_b", "run_broken"}
+    assert "patterns" in res["run_a"] and "error" in res["run_broken"]
+    lines = (tmp_path / "sweep.jsonl").read_text().splitlines()
+    assert len(lines) == 3

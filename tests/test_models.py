@@ -64,3 +64,60 @@ def test_wndense_stable_at_zero_weights():
 
     g = jax.tree_util.tree_leaves(jax.grad(loss)(zeroed))
     assert all(np.all(np.isfinite(np.asarray(l))) for l in g)
+
+
+def test_no_weak_typed_params_and_single_trace_step():
+    """Weak-typed params (python-float initializers) force the train step to
+    retrace twice — minutes of recompile through the TPU tunnel. Guard every
+    model's init, and assert the step reaches aval fixed-point immediately."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pregen_pde_tpu.models.cno import CNO
+    from pregen_pde_tpu.models.ffno import FFNO2d
+    from pregen_pde_tpu.models.fno import FNO2d
+    from pregen_pde_tpu.models.scot import ScOT, ScOTConfig
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 6)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(size=(2,)).astype(np.float32))
+
+    models = [
+        FNO2d(out_channels=3, modes=4, width=8, n_layers=2),
+        FFNO2d(out_channels=3, modes=4, width=8, n_layers=2),
+        CNO(in_size=32, out_dim=3, n_layers=1, n_res=1, n_res_neck=1,
+            channel_multiplier=8),
+        ScOT(ScOTConfig(image_size=32, num_channels=6, num_out_channels=3,
+                        embed_dim=24, depths=(1, 1, 1, 1), window_size=4,
+                        num_heads=(2, 2, 2, 2))),
+    ]
+    for model in models:
+        params = model.init(jax.random.key(0), x, t)["params"]
+        weak = [
+            jax.tree_util.keystr(k)
+            for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+            if v.aval.weak_type
+        ]
+        assert not weak, f"{type(model).__name__}: weak-typed params {weak[:4]}"
+
+        # one-trace fixed point: in/out avals of a full train step match
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(params)
+        traces = [0]
+
+        @jax.jit
+        def step(p, o):
+            traces[0] += 1
+            loss, grads = jax.value_and_grad(
+                lambda q: jnp.mean(
+                    jnp.abs(model.apply({"params": q}, x, t))
+                )
+            )(p)
+            upd, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, upd), o, loss
+
+        p, o = params, opt_state
+        for _ in range(3):
+            p, o, _ = step(p, o)
+        assert traces[0] == 1, f"{type(model).__name__}: retraced {traces[0]}x"

@@ -164,3 +164,27 @@ def test_split_bounds_validation():
                          n_val=2, n_test=2)
     with pytest.raises(ValueError, match="split needs"):
         TimePairDataset(data, cfg, "val")
+
+
+def test_weight_decay_skips_biases_and_norms():
+    """No-decay group ≡ reference `scOT/trainer.py:77-227`: with zero grads,
+    AdamW's decoupled decay moves kernels but not biases."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pregen_pde_tpu.training.trainer import TrainerConfig, build_optimizer
+
+    cfg = TrainerConfig(learning_rate=0.1, weight_decay=0.5, epochs=1,
+                        schedule="constant", grad_clip=1e9)
+    params = {
+        "Dense_0": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "norm": {"scale": jnp.ones((4,))},
+    }
+    tx = build_optimizer(cfg, steps_per_epoch=1, params=params)
+    state = tx.init(params)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert float(jnp.abs(new["Dense_0"]["kernel"] - 1).max()) > 1e-3
+    np.testing.assert_allclose(np.asarray(new["Dense_0"]["bias"]), 1.0)
+    np.testing.assert_allclose(np.asarray(new["norm"]["scale"]), 1.0)

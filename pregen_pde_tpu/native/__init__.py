@@ -174,6 +174,7 @@ class NativeTimePairGather:
         self._data = data  # keep the buffer alive
         self._h = lib.tp_loader_create(_as_f32_ptr(data), *map(int, data.shape))
         self.shape = data.shape
+        self._pending = None
 
     def _idx_args(self, traj, t1, t2, tval, mean, std):
         traj = np.ascontiguousarray(traj, np.int64)
@@ -220,9 +221,16 @@ class NativeTimePairGather:
         n, oc, time_input = self._pending
         inp, lab = self._out_bufs(n, oc, time_input)
         got = self._lib.tp_wait(self._h, _as_f32_ptr(inp), _as_f32_ptr(lab))
+        self._pending = None
         if got != n:
             raise RuntimeError(f"tp_wait failed: {got}")
         return inp, lab
+
+    def drain(self):
+        """Discard any in-flight submit (an abandoned iterator may have left
+        one pending); afterwards a fresh submit is accepted."""
+        if getattr(self, "_pending", None) is not None:
+            self.wait()
 
     def close(self):
         if self._h is not None:

@@ -30,7 +30,10 @@ struct Loader {
   std::thread worker;
   std::mutex m;
   std::condition_variable cv_work, cv_done;
-  bool has_job = false, has_result = false, closing = false;
+  // protocol: submit -> wait -> submit ... ; `busy` covers the window where
+  // the worker has snapshotted the job but not yet posted the result, so a
+  // premature second submit is rejected instead of silently reordered
+  bool has_job = false, busy = false, has_result = false, closing = false;
 
   // pending job
   std::vector<int64_t> traj, t1, t2;
@@ -104,6 +107,7 @@ void worker_loop(Loader* L) {
     int64_t oc = L->oc;
     int ti = L->time_input;
     L->has_job = false;
+    L->busy = true;
     int64_t n = static_cast<int64_t>(traj.size());
     const int64_t ci = L->C + (ti ? 1 : 0);
     L->inp_buf.resize(n * L->H * L->W * ci);
@@ -114,6 +118,7 @@ void worker_loop(Loader* L) {
                     L->inp_buf.data(), L->lab_buf.data(), 2);
     lk.lock();
     L->out_n = n;
+    L->busy = false;
     L->has_result = true;
     L->cv_done.notify_all();
   }
@@ -158,7 +163,8 @@ int tp_submit(void* handle, int64_t n, const int64_t* traj, const int64_t* t1,
         t2[k] < 0 || t2[k] >= L->T)
       return -1;
   std::unique_lock<std::mutex> lk(L->m);
-  if (L->has_job) return -2;  // protocol: submit → wait → submit
+  if (L->has_job || L->busy || L->has_result)
+    return -2;  // protocol: submit → wait → submit
   L->traj.assign(traj, traj + n);
   L->t1.assign(t1, t1 + n);
   L->t2.assign(t2, t2 + n);

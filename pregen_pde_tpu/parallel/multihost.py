@@ -58,3 +58,30 @@ def global_mesh(axis_names: Sequence[str] = ("data",), shape=None):
     from pregen_pde_tpu.parallel.meshes import make_mesh
 
     return make_mesh(shape=shape, axis_names=axis_names, devices=jax.devices())
+
+
+def stage_to_local_scratch(path, scratch_dir=None) -> str:
+    """Rank-aware dataset staging ≡ `move_to_local_scratch`
+    (`scOT/problems/base.py:215-231`): copy `path` onto node-local scratch
+    once per host (process-0-per-host copies, everyone else waits at a
+    barrier), so all local workers read from fast local disk instead of the
+    shared filesystem. Returns the local path. No-op if already staged or
+    no scratch dir is configured/available."""
+    import os
+    import shutil
+
+    scratch_dir = scratch_dir or os.environ.get("SCRATCH") or os.environ.get(
+        "LOCAL_SCRATCH"
+    )
+    if not scratch_dir:
+        return str(path)
+    dst = os.path.join(scratch_dir, os.path.basename(str(path)))
+    if not os.path.exists(dst):
+        if is_host0() or jax.process_count() == 1:
+            os.makedirs(scratch_dir, exist_ok=True)
+            tmp = f"{dst}.{os.getpid()}.tmp"
+            shutil.copy(str(path), tmp)
+            os.replace(tmp, dst)  # atomic vs concurrent readers
+    if jax.process_count() > 1:
+        sync_hosts("stage_to_local_scratch")
+    return dst

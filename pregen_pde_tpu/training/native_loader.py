@@ -116,6 +116,10 @@ class NativeBatchLoader:
         }
 
     def __iter__(self):
+        # a previous iterator abandoned mid-epoch (e.g. Trainer peeking one
+        # batch with next(iter(loader))) leaves an in-flight prefetch — drain
+        for g in self._gathers:
+            g.drain()
         n = int(self._offsets[-1])
         order = np.arange(n)
         if self.shuffle:

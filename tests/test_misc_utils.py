@@ -117,3 +117,23 @@ def test_fourier_features():
     v0 = ident.init(jax.random.key(0), coords)
     np.testing.assert_allclose(np.asarray(ident.apply(v0, coords)),
                                np.asarray(coords))
+
+
+def test_stage_to_local_scratch(tmp_path, monkeypatch):
+    from pregen_pde_tpu.parallel.multihost import stage_to_local_scratch
+
+    src = tmp_path / "data.npy"
+    src.write_bytes(b"payload")
+    # no scratch configured → identity
+    monkeypatch.delenv("SCRATCH", raising=False)
+    monkeypatch.delenv("LOCAL_SCRATCH", raising=False)
+    assert stage_to_local_scratch(str(src)) == str(src)
+    # scratch via env → copied once, reused on second call
+    scratch = tmp_path / "scratch"
+    monkeypatch.setenv("SCRATCH", str(scratch))
+    dst = stage_to_local_scratch(str(src))
+    assert dst == str(scratch / "data.npy")
+    assert (scratch / "data.npy").read_bytes() == b"payload"
+    mtime = (scratch / "data.npy").stat().st_mtime_ns
+    assert stage_to_local_scratch(str(src)) == dst
+    assert (scratch / "data.npy").stat().st_mtime_ns == mtime  # not re-copied

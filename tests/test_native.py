@@ -153,3 +153,58 @@ def test_native_batch_loader_matches_python_loader():
     for b_py, b_nat in zip(py, nat):
         np.testing.assert_allclose(canon(b_py), canon(b_nat), atol=1e-6)
     nat.close()
+
+
+def test_native_gather_protocol_rejects_double_submit():
+    from pregen_pde_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip(f"no native toolchain: {native.load_error()}")
+
+    import pytest
+
+    data = _fake_contract(n=64, t=5, h=32, w=32)  # big enough to stay busy
+    g = native.NativeTimePairGather(np.ascontiguousarray(data))
+    traj = np.arange(64, dtype=np.int64)
+    t1 = np.zeros(64, np.int64)
+    t2 = np.ones(64, np.int64)
+    tv = np.ones(64, np.float32)
+    mean = np.zeros(3, np.float32)
+    std = np.ones(3, np.float32)
+    g.submit(traj, t1, t2, tv, mean, std)
+    with pytest.raises(RuntimeError, match="tp_submit failed"):
+        g.submit(traj, t1, t2, tv, mean, std)
+    inp, lab = g.wait()
+    assert inp.shape == (64, 32, 32, 7) and lab.shape == (64, 32, 32, 3)
+    # after wait, a new submit is accepted again
+    g.submit(traj[:2], t1[:2], t2[:2], tv[:2], mean, std)
+    g.wait()
+    g.close()
+
+
+def test_native_batch_loader_survives_abandoned_iterator():
+    """Trainer.fit peeks one batch with next(iter(loader)) then iterates
+    fresh — the abandoned iterator's in-flight prefetch must be drained, not
+    poison (or worse, misalign) the next epoch."""
+    from pregen_pde_tpu.training.datasets import TimePairConfig, TimePairDataset
+    from pregen_pde_tpu.training.native_loader import NativeBatchLoader
+
+    data = _fake_contract(n=8)
+    cfg = TimePairConfig(max_num_time_steps=4, allowed_transitions=[1],
+                         n_val=1, n_test=1)
+    ds = TimePairDataset(data, cfg, "train")
+    nat = NativeBatchLoader(ds, batch_size=4, shuffle=True, seed=3)
+    peek = next(iter(nat))  # abandons its iterator with a prefetch in flight
+    assert peek["input"].shape[0] == 4
+    # two full epochs after the abandonment, content-checked vs python loader
+    from pregen_pde_tpu.training.datasets import BatchLoader
+
+    py = BatchLoader(ds, batch_size=4, shuffle=True, seed=3)
+    next(iter(py))  # consume one shuffle so both RNG streams stay in step
+    for _ in range(2):
+        for b_nat, b_py in zip(nat, py):
+            np.testing.assert_allclose(b_nat["time"], b_py["time"])
+            np.testing.assert_allclose(b_nat["input"], b_py["input"], atol=1e-6)
+            np.testing.assert_allclose(b_nat["label"], b_py["label"], atol=1e-6)

@@ -20,10 +20,22 @@ import sys
 
 def _cmd_generate(args):
     import jax
-    from pregen_pde_tpu.datagen.writer import ShardWriter
+    from pregen_pde_tpu.datagen.writer import ShardWriter, scan_existing_shards
 
     key = jax.random.key(args.seed)
-    writer = ShardWriter(args.out, prefix=args.prefix, fmt=args.format)
+    start_index = 0
+    if args.resume and args.format == "npy":
+        start_index, n_done = scan_existing_shards(args.out, args.prefix)
+        if n_done >= args.n:
+            print(json.dumps({"generated": 0, "already_done": n_done,
+                              "out": args.out}))
+            return
+        # fold the resume point into the key: the continuation draws fresh
+        # trajectories rather than replaying the crashed batch's stream
+        key = jax.random.fold_in(key, start_index)
+        args.n -= n_done
+    writer = ShardWriter(args.out, prefix=args.prefix, fmt=args.format,
+                         dtype=args.storage_dtype, start_index=start_index)
     if args.workload in ("burgers", "heat", "darcy"):
         done = 0
         while done < args.n:
@@ -34,21 +46,24 @@ def _cmd_generate(args):
                 from pregen_pde_tpu.datagen.simple import generate_burgers_batch
 
                 arr = generate_burgers_batch(
-                    sub, BurgersConfig(resolution=args.resolution), take
+                    sub, BurgersConfig(resolution=args.resolution), take,
+                    storage_dtype=args.storage_dtype,
                 )
             elif args.workload == "heat":
                 from pregen_pde_tpu.datagen.simple import generate_heat_batch
                 from pregen_pde_tpu.solvers.heat import HeatConfig
 
                 arr = generate_heat_batch(
-                    sub, HeatConfig(resolution=args.resolution), take
+                    sub, HeatConfig(resolution=args.resolution), take,
+                    storage_dtype=args.storage_dtype,
                 )
             else:
                 from pregen_pde_tpu.datagen.simple import generate_darcy_batch
                 from pregen_pde_tpu.solvers.darcy import DarcyConfig
 
                 arr = generate_darcy_batch(
-                    sub, DarcyConfig(resolution=args.resolution), take
+                    sub, DarcyConfig(resolution=args.resolution), take,
+                    storage_dtype=args.storage_dtype,
                 )
             writer.write_batch(arr)
             done += take
@@ -68,6 +83,7 @@ def _cmd_generate(args):
             ),
             batch_size=args.batch_size,
             vary_difficulty=not args.fixed_difficulty,
+            storage_dtype=args.storage_dtype,
         )
         generate_ns_dataset(key, gen, args.n, writer=writer)
     else:
@@ -87,7 +103,9 @@ def _cmd_generate(args):
         while done < args.n:
             take = min(args.batch_size, args.n - done)
             key, sub = jax.random.split(key)
-            writer.write_batch(generate_masked_ns_batch(sub, cfg, take))
+            arr = generate_masked_ns_batch(sub, cfg, take,
+                                           storage_dtype=args.storage_dtype)
+            writer.write_batch(arr)
             done += take
         writer.close()
     print(json.dumps({"generated": args.n, "out": args.out}))
@@ -305,6 +323,12 @@ def main(argv=None):
     g.add_argument("--out", required=True)
     g.add_argument("--prefix", default="results")
     g.add_argument("--format", default="npy", choices=["npy", "h5"])
+    g.add_argument("--storage-dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="dataset dtype; float16 halves transfer + shard size")
+    g.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run: skip trajectories "
+                        "already in existing shards, keep numbering (npy)")
     g.add_argument("--resolution", type=int, default=128)
     g.add_argument("--batch-size", type=int, default=128)
     g.add_argument("--seed", type=int, default=0)

@@ -103,7 +103,8 @@ def _solver_for(cfg: MaskedNSConfig, u_max: float, t_end: float) -> ProjectionSo
 
 
 def generate_masked_ns_batch(
-    key: jax.Array, cfg: MaskedNSConfig, n_traj: int | None = None
+    key: jax.Array, cfg: MaskedNSConfig, n_traj: int | None = None,
+    storage_dtype: str = "float32",
 ) -> np.ndarray:
     """→ float32 (N, n_snapshots+1, res, res, 6) in the data contract."""
     n_traj = n_traj or cfg.batch_size
@@ -121,7 +122,8 @@ def generate_masked_ns_batch(
     sdfs_np = np.asarray(sdfs)
 
     res = cfg.resolution
-    out = np.empty((n_traj, cfg.n_snapshots + 1, res, res, 6), np.float32)
+    out = np.empty((n_traj, cfg.n_snapshots + 1, res, res, 6),
+                   np.dtype(storage_dtype))
 
     # bucket by quantized horizon; u_max is a traced vmap axis and the bucket
     # step count a traced scalar → ONE compile per batch shape (27 horizon
@@ -147,6 +149,8 @@ def generate_masked_ns_batch(
             jnp.asarray(inner, jnp.int32),
             jnp.asarray(dt_b, jnp.float32),
         )
+        if str(frames.dtype) != storage_dtype:
+            frames = frames.astype(storage_dtype)  # cast on device pre-fetch
         frames = np.asarray(jax.device_get(frames))[:n_real]
         out[idx_raw, :, :, :, 0:3] = frames
         out[idx_raw, :, :, :, 3] = re_norm_np[idx_raw, None, None, None]

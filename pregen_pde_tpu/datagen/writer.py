@@ -28,14 +28,18 @@ class ShardWriter:
     """
 
     def __new__(cls, out_dir, prefix: str = "results", fmt: str = "npy",
-                queue_depth: int = 2, backend: str = "auto"):
+                queue_depth: int = 2, backend: str = "auto",
+                dtype: str = "float32", start_index: int = 0):
         # npy shards route to the C++ writer when the toolchain is available
-        # (backend="python" forces the pure-Python path; "native" requires it)
-        if fmt == "npy" and backend in ("auto", "native"):
+        # (backend="python" forces the pure-Python path; "native" requires
+        # it); the C writer is float32-only, so other storage dtypes
+        # (e.g. float16 datasets) stay on the Python path
+        if fmt == "npy" and backend in ("auto", "native") and dtype == "float32":
             from pregen_pde_tpu import native
 
             if native.available():
-                return native.NativeShardWriter(out_dir, prefix, queue_depth)
+                return native.NativeShardWriter(out_dir, prefix, queue_depth,
+                                                start_index)
             if backend == "native":
                 raise RuntimeError(
                     f"native backend requested but unavailable: {native.load_error()}"
@@ -49,6 +53,8 @@ class ShardWriter:
         fmt: str = "npy",
         queue_depth: int = 2,
         backend: str = "auto",
+        dtype: str = "float32",
+        start_index: int = 0,
     ):
         if fmt not in ("npy", "h5"):
             raise ValueError(f"unknown format {fmt!r}")
@@ -57,7 +63,7 @@ class ShardWriter:
         self.prefix = prefix
         self.fmt = fmt
         self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
-        self._idx = 0
+        self._idx = int(start_index)
         self._n_written = 0
         self._error: BaseException | None = None
         self._h5 = None
@@ -115,6 +121,24 @@ class ShardWriter:
         meta = {"n_trajectories": self._n_written, "n_shards": self._idx,
                 "format": self.fmt, **(metadata or {})}
         (self.out_dir / f"{self.prefix}_meta.json").write_text(json.dumps(meta, indent=2))
+
+
+def scan_existing_shards(out_dir: str | os.PathLike,
+                         prefix: str = "results") -> tuple[int, int]:
+    """(next_shard_index, n_trajectories_already_written) for resuming an
+    interrupted generation run (the reference's restart story is manual
+    batch_name bookkeeping, `Regular/main.py:1048-1065`; here shards are the
+    unit of durability — a crash loses at most the in-flight batch)."""
+    out_dir = Path(out_dir)
+    files = sorted(
+        out_dir.glob(f"{prefix}_batch_*.npy"),
+        key=lambda p: int(p.stem.rsplit("_", 1)[1]),
+    )
+    if not files:
+        return 0, 0
+    next_idx = int(files[-1].stem.rsplit("_", 1)[1]) + 1
+    n = sum(int(np.load(f, mmap_mode="r").shape[0]) for f in files)
+    return next_idx, n
 
 
 def load_shards(out_dir: str | os.PathLike, prefix: str = "results") -> np.ndarray:

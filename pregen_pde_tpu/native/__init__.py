@@ -51,7 +51,7 @@ def _load():
         lib = ctypes.CDLL(str(so_path))
         lib.shard_writer_create.restype = ctypes.c_void_p
         lib.shard_writer_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
-                                            ctypes.c_int]
+                                            ctypes.c_int, ctypes.c_int]
         lib.shard_writer_write.restype = ctypes.c_int
         lib.shard_writer_write.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -120,7 +120,8 @@ class NativeShardWriter:
     background-thread writer: `write_batch` returns after one memcpy into the
     native queue; disk I/O happens off the Python thread, no GIL held."""
 
-    def __init__(self, out_dir, prefix: str = "results", queue_depth: int = 2):
+    def __init__(self, out_dir, prefix: str = "results", queue_depth: int = 2,
+                 start_index: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native shardio unavailable: {_LIB_ERR}")
@@ -129,11 +130,17 @@ class NativeShardWriter:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.prefix = prefix
         self._h = lib.shard_writer_create(
-            str(self.out_dir).encode(), prefix.encode(), queue_depth
+            str(self.out_dir).encode(), prefix.encode(), queue_depth,
+            int(start_index),
         )
-        self._n_shards = 0
+        self._n_shards = int(start_index)
 
     def write_batch(self, arr: np.ndarray):
+        if arr.dtype != np.float32:
+            raise TypeError(
+                f"native shard writer is float32-only, got {arr.dtype}; "
+                "use ShardWriter(backend='python', dtype=...) for other dtypes"
+            )
         arr = np.ascontiguousarray(arr, dtype=np.float32)
         rc = self._lib.shard_writer_write(
             self._h, _as_f32_ptr(arr), _shape_arr(arr), arr.ndim

@@ -143,6 +143,7 @@ int tp_gather(void* handle, int64_t n, const int64_t* traj, const int64_t* t1,
               const float* stdv, int64_t oc, int time_input, float* inp_out,
               float* lab_out, int n_threads) {
   auto* L = static_cast<Loader*>(handle);
+  if (oc < 0 || oc > L->C) return -3;  // mean/std wider than the channels
   for (int64_t k = 0; k < n; ++k)
     if (traj[k] < 0 || traj[k] >= L->N || t1[k] < 0 || t1[k] >= L->T ||
         t2[k] < 0 || t2[k] >= L->T)
@@ -158,6 +159,7 @@ int tp_submit(void* handle, int64_t n, const int64_t* traj, const int64_t* t1,
               const int64_t* t2, const float* tval, const float* mean,
               const float* stdv, int64_t oc, int time_input) {
   auto* L = static_cast<Loader*>(handle);
+  if (oc < 0 || oc > L->C) return -3;  // mean/std wider than the channels
   for (int64_t k = 0; k < n; ++k)
     if (traj[k] < 0 || traj[k] >= L->N || t1[k] < 0 || t1[k] >= L->T ||
         t2[k] < 0 || t2[k] >= L->T)

@@ -114,11 +114,12 @@ struct Writer {
 extern "C" {
 
 void* shard_writer_create(const char* dir, const char* prefix,
-                          int queue_depth) {
+                          int queue_depth, int start_index) {
   auto* w = new Writer();
   w->dir = dir;
   w->prefix = prefix;
   w->max_depth = queue_depth > 0 ? static_cast<size_t>(queue_depth) : 2;
+  w->next_idx = start_index > 0 ? start_index : 0;  // resume numbering
   w->worker = std::thread([w] { w->run(); });
   return w;
 }

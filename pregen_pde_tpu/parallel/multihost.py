@@ -60,15 +60,19 @@ def global_mesh(axis_names: Sequence[str] = ("data",), shape=None):
     return make_mesh(shape=shape, axis_names=axis_names, devices=jax.devices())
 
 
-def stage_to_local_scratch(path, scratch_dir=None) -> str:
+def stage_to_local_scratch(path, scratch_dir=None, timeout_s: float = 600.0) -> str:
     """Rank-aware dataset staging ≡ `move_to_local_scratch`
     (`scOT/problems/base.py:215-231`): copy `path` onto node-local scratch
-    once per host (process-0-per-host copies, everyone else waits at a
-    barrier), so all local workers read from fast local disk instead of the
-    shared filesystem. Returns the local path. No-op if already staged or
-    no scratch dir is configured/available."""
+    ONCE PER NODE, so all local workers read fast local disk instead of the
+    shared filesystem. Node-local election is filesystem-based (an O_EXCL
+    lock on the scratch dir itself), not rank-based — scratch is per-node,
+    so gating on global rank 0 would leave every other node's scratch empty.
+    The elected copier writes tmp + atomic rename; co-located processes poll
+    for the rename; then all processes sync at a global barrier. Returns the
+    local path; identity when no scratch dir is configured."""
     import os
     import shutil
+    import time
 
     scratch_dir = scratch_dir or os.environ.get("SCRATCH") or os.environ.get(
         "LOCAL_SCRATCH"
@@ -77,11 +81,30 @@ def stage_to_local_scratch(path, scratch_dir=None) -> str:
         return str(path)
     dst = os.path.join(scratch_dir, os.path.basename(str(path)))
     if not os.path.exists(dst):
-        if is_host0() or jax.process_count() == 1:
-            os.makedirs(scratch_dir, exist_ok=True)
-            tmp = f"{dst}.{os.getpid()}.tmp"
-            shutil.copy(str(path), tmp)
-            os.replace(tmp, dst)  # atomic vs concurrent readers
+        os.makedirs(scratch_dir, exist_ok=True)
+        lock = f"{dst}.lock"
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            elected = True
+        except FileExistsError:
+            elected = False
+        if elected:
+            try:
+                tmp = f"{dst}.{os.getpid()}.tmp"
+                shutil.copy(str(path), tmp)
+                os.replace(tmp, dst)  # atomic vs concurrent readers
+            finally:
+                os.close(fd)
+                os.unlink(lock)
+        else:  # another local process is copying: poll for the rename
+            t0 = time.monotonic()
+            while not os.path.exists(dst):
+                if time.monotonic() - t0 > timeout_s:
+                    raise TimeoutError(
+                        f"stage_to_local_scratch: {dst} not staged after "
+                        f"{timeout_s}s (copier crashed? stale {lock}?)"
+                    )
+                time.sleep(0.2)
     if jax.process_count() > 1:
         sync_hosts("stage_to_local_scratch")
     return dst

@@ -30,6 +30,8 @@ __all__ = [
     "make_tp_mesh",
     "channel_sharded_params",
     "make_tp_train_step",
+    "shard_params",
+    "data_sharding",
 ]
 
 
@@ -74,11 +76,11 @@ def make_tp_train_step(
     shardings; batch arrays are expected data-sharded on axis 0. XLA inserts
     the per-layer TP collectives and the cross-"data" gradient psum."""
 
+    import optax
+
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
-        import optax
-
         return optax.apply_updates(params, updates), opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))

@@ -249,24 +249,26 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
         if base.endswith(".time"):
             base = base[: -len(".time")]  # TimeWrapper semantics are built in
 
-    if out_mode and "cfg" not in kw:
-        spec = BENCHMARK_REGISTRY.get(base)
-        max_t = spec.max_time if spec is not None else None
-        n_steps = _OUT_TIME_SETTINGS["max_num_time_steps"]
+    def out_cfg(max_t, n_val, n_test):
         step = _OUT_TIME_SETTINGS["time_step_size"]
-        if max_t is not None:
-            n_steps = min(n_steps, max_t // step)
-        kw["cfg"] = TimePairConfig(
-            max_num_time_steps=n_steps, time_step_size=step,
-            allowed_transitions=None,
-            n_val=spec.n_val if spec else 2, n_test=spec.n_test if spec else 2,
+        n_steps = min(_OUT_TIME_SETTINGS["max_num_time_steps"], max_t // step)
+        return TimePairConfig(
+            max_num_time_steps=max(n_steps, 1), time_step_size=step,
+            allowed_transitions=None, n_val=n_val, n_test=n_test,
         )
+
+    if out_mode and "cfg" not in kw and base in BENCHMARK_REGISTRY:
+        spec = BENCHMARK_REGISTRY[base]
+        kw["cfg"] = out_cfg(spec.max_time, spec.n_val, spec.n_test)
 
     if base == "ns_custom":
         from pregen_pde_tpu.training.datasets import TimePairDataset
 
         data = np.load(data_path, mmap_mode="r")
-        cfg = kw.pop("cfg", None) or TimePairConfig(
+        cfg = kw.pop("cfg", None)
+        if cfg is None and out_mode:  # clamp to the file's actual frames
+            cfg = out_cfg(data.shape[1] - 1, 2, 2)
+        cfg = cfg or TimePairConfig(
             max_num_time_steps=data.shape[1] - 1, allowed_transitions=None,
         )
         return TimePairDataset(np.asarray(data), cfg, which, **kw)

@@ -118,8 +118,13 @@ class NativeBatchLoader:
     def __iter__(self):
         # a previous iterator abandoned mid-epoch (e.g. Trainer peeking one
         # batch with next(iter(loader))) leaves an in-flight prefetch — drain
+        # it and SUPERSEDE that iterator: two concurrently-live iterators
+        # would interleave submits/waits on the shared native workers and
+        # silently mispair (time, input, label), so a stale iterator raises
+        # instead of corrupting batches.
         for g in self._gathers:
             g.drain()
+        self._iter_token = token = object()
         n = int(self._offsets[-1])
         order = np.arange(n)
         if self.shuffle:
@@ -130,6 +135,12 @@ class NativeBatchLoader:
             return
         pending = self._submit(batches[0])
         for i in range(len(batches)):
+            if self._iter_token is not token:
+                raise RuntimeError(
+                    "NativeBatchLoader iterator superseded by a newer "
+                    "iter() of the same loader; only one live iterator is "
+                    "supported (use separate loaders for nested iteration)"
+                )
             out = self._collect(pending)
             if i + 1 < len(batches):
                 pending = self._submit(batches[i + 1])

@@ -90,3 +90,22 @@ def device_memory_stats() -> list[dict]:
         if s:
             stats.append({"device": str(d), **{k: s[k] for k in sorted(s)}})
     return stats
+
+
+def dump_hlo(fn, *args, path: str | None = None, optimized: bool = False,
+             **jit_kwargs) -> str:
+    """Lower ``fn(*args)`` and return its HLO text (≡ the "XLA dumps" debug
+    surface, SURVEY §5; the reference had no compiler-level introspection).
+    ``optimized=True`` returns the post-optimization module (requires a
+    compile — slow through the TPU tunnel). If ``path`` is given the text is
+    also written there."""
+    import jax
+
+    lowered = jax.jit(fn, **jit_kwargs).lower(*args)
+    text = (
+        lowered.compile().as_text() if optimized else lowered.as_text()
+    )
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text

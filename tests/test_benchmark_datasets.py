@@ -132,3 +132,16 @@ def test_out_and_time_modifiers_and_list_dispatch(tmp_path):
 
     with pytest.raises(KeyError):
         get_dataset("nonexistent.out", tmp_path)
+
+
+def test_ns_custom_out_clamps_to_file_frames(tmp_path):
+    """'ns_custom.out' must clamp the OOD horizon to the file's frames."""
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(8, 9, 8, 8, 6)).astype(np.float32)  # only 9 frames
+    p = tmp_path / "d.npy"
+    np.save(p, data)
+    ds = get_dataset("ns_custom.out", str(p), "val")
+    t2s = [t2 for (_, t2) in ds.time_indices]
+    assert max(t2s) <= 8, t2s  # never indexes past frame 8
+    for i in range(len(ds)):
+        ds[i]  # no IndexError

@@ -76,3 +76,49 @@ def test_sweep_eval_cli(tmp_path, capsys):
     assert "patterns" in res["run_a"] and "error" in res["run_broken"]
     lines = (tmp_path / "sweep.jsonl").read_text().splitlines()
     assert len(lines) == 3
+
+
+def test_generate_float16_storage(tmp_path, capsys):
+    """--storage-dtype float16 halves shard bytes; values match the f32 run
+    to f16 quantization; preflight and training both accept the file."""
+    cli.main(["generate", "--workload", "ns_spectral", "--n", "4", "--out",
+              str(tmp_path / "f32"), "--resolution", "16", "--batch-size", "4",
+              "--fixed-difficulty"])
+    cli.main(["generate", "--workload", "ns_spectral", "--n", "4", "--out",
+              str(tmp_path / "f16"), "--resolution", "16", "--batch-size", "4",
+              "--fixed-difficulty", "--storage-dtype", "float16"])
+    a32 = np.load(tmp_path / "f32" / "results_batch_0.npy")
+    a16 = np.load(tmp_path / "f16" / "results_batch_0.npy")
+    assert a32.dtype == np.float32 and a16.dtype == np.float16
+    assert a16.nbytes * 2 == a32.nbytes
+    np.testing.assert_allclose(a16.astype(np.float32), a32, atol=2e-3)
+    cli.main(["preflight", "--data", str(tmp_path / "f16" / "results_batch_0.npy")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["finite_fraction"] == 1.0
+
+
+def test_generate_resume(tmp_path, capsys):
+    """--resume continues an interrupted run: existing shards are counted,
+    numbering continues, and the reassembled dataset has the full size."""
+    from pregen_pde_tpu.datagen.writer import load_shards
+
+    out = str(tmp_path / "d")
+    cli.main(["generate", "--workload", "burgers", "--n", "8", "--out", out,
+              "--resolution", "64", "--batch-size", "4"])
+    # "crash" happened after 8; resume to a 12-trajectory target
+    cli.main(["generate", "--workload", "burgers", "--n", "12", "--out", out,
+              "--resolution", "64", "--batch-size", "4", "--resume"])
+    data = load_shards(out)
+    assert data.shape[0] == 12
+    # shards 0..2 all present, distinct content
+    import numpy as np
+
+    s0 = np.load(tmp_path / "d" / "results_batch_0.npy")
+    s2 = np.load(tmp_path / "d" / "results_batch_2.npy")
+    assert not np.allclose(s0, s2)
+    # resuming a finished run is a no-op
+    cli.main(["generate", "--workload", "burgers", "--n", "12", "--out", out,
+              "--resolution", "64", "--batch-size", "4", "--resume"])
+    out_line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out_line["generated"] == 0 and out_line["already_done"] == 12
+    assert load_shards(out).shape[0] == 12

@@ -137,3 +137,14 @@ def test_stage_to_local_scratch(tmp_path, monkeypatch):
     mtime = (scratch / "data.npy").stat().st_mtime_ns
     assert stage_to_local_scratch(str(src)) == dst
     assert (scratch / "data.npy").stat().st_mtime_ns == mtime  # not re-copied
+
+
+def test_dump_hlo(tmp_path):
+    from pregen_pde_tpu.utils.debug import dump_hlo
+
+    f = lambda x: jnp.sin(x) * 2.0
+    x = jnp.ones((4, 4), jnp.float32)
+    txt = dump_hlo(f, x, path=str(tmp_path / "mod.hlo"))
+    assert "sine" in txt and (tmp_path / "mod.hlo").exists()
+    opt = dump_hlo(f, x, optimized=True)
+    assert "fusion" in opt or "sine" in opt

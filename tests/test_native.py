@@ -208,3 +208,37 @@ def test_native_batch_loader_survives_abandoned_iterator():
             np.testing.assert_allclose(b_nat["time"], b_py["time"])
             np.testing.assert_allclose(b_nat["input"], b_py["input"], atol=1e-6)
             np.testing.assert_allclose(b_nat["label"], b_py["label"], atol=1e-6)
+
+
+def test_native_batch_loader_rejects_concurrent_iterators():
+    """Two live iterators over one loader would mispair (time, input, label);
+    the stale iterator must raise, not corrupt."""
+    from pregen_pde_tpu.training.datasets import TimePairConfig, TimePairDataset
+    from pregen_pde_tpu.training.native_loader import NativeBatchLoader
+
+    ds = TimePairDataset(_fake_contract(n=8), TimePairConfig(
+        max_num_time_steps=4, allowed_transitions=[1], n_val=1, n_test=1),
+        "train")
+    nat = NativeBatchLoader(ds, batch_size=4, shuffle=False)
+    it1 = iter(nat)
+    next(it1)
+    it2 = iter(nat)  # supersedes it1
+    next(it2)
+    with pytest.raises(RuntimeError, match="superseded"):
+        next(it1)
+    # it2 keeps working
+    for _ in it2:
+        pass
+    nat.close()
+
+
+def test_native_gather_rejects_oversized_stats():
+    """mean/std wider than the contract channels must fail cleanly, not
+    corrupt memory."""
+    data = _fake_contract()
+    g = native.NativeTimePairGather(np.ascontiguousarray(data))
+    idx = np.zeros(2, np.int64)
+    with pytest.raises(IndexError):
+        g.gather(idx, idx, idx + 1, np.ones(2, np.float32),
+                 np.zeros(10, np.float32), np.ones(10, np.float32))
+    g.close()

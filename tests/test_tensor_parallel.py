@@ -81,3 +81,27 @@ def test_tp_train_step_matches_single_device(n_data, n_model):
             np.asarray(a), np.asarray(b), atol=2e-5,
             err_msg=str(ka),
         )
+
+
+def test_tp_cno_forward_matches_single_device():
+    """Channel TP generalizes to the flagship CNO (conv kernels, FILM MLPs):
+    sharded forward == replicated forward."""
+    from pregen_pde_tpu.models.cno import CNO
+
+    model = CNO(in_size=16, out_dim=3, n_layers=1, n_res=1, n_res_neck=1,
+                channel_multiplier=8)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 7)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(size=(4,)).astype(np.float32))
+    params = model.init(jax.random.key(0), x, t)["params"]
+
+    want = jax.jit(lambda p: model.apply({"params": p}, x, t))(params)
+
+    mesh = make_tp_mesh(2, 4)
+    p_tp = shard_params(params, mesh)
+    x_tp = jax.device_put(x, data_sharding(mesh, 4))
+    t_tp = jax.device_put(t, data_sharding(mesh, 1))
+    got = jax.jit(lambda p, xx, tt: model.apply({"params": p}, xx, tt))(
+        p_tp, x_tp, t_tp
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -54,6 +54,11 @@ class GenerationConfig:
     # float16 covers the contract's dynamic range (|u|,|p| ≲ O(1), SDF/mask/Re
     # normalized) with ~1e-3 relative quantization.
     storage_dtype: str = "float32"
+    # time stepper: "cn_ab2_packed" (CN + Adams-Bashforth-2, 1 RHS eval/step,
+    # the canonical FNO-dataset scheme — 1.77x measured on the north star) or
+    # "cn_heun_packed" (CN + RK2, 2 evals/step). Both 2nd order,
+    # oracle-verified (`tests/test_spectral_ns.py`).
+    method: str = "cn_ab2_packed"
 
 
 def _pack_contract(
@@ -84,7 +89,7 @@ def _pack_contract(
 
 @partial(
     jax.jit,
-    static_argnames=("solver", "grf_alpha", "grf_tau", "grf_sigma"),
+    static_argnames=("solver", "grf_alpha", "grf_tau", "grf_sigma", "method"),
 )
 def _generate_bucket(
     keys: jax.Array,  # (B,) PRNG keys
@@ -95,13 +100,14 @@ def _generate_bucket(
     grf_alpha: float = 2.5,
     grf_tau: float = 7.0,
     grf_sigma: float | None = None,
+    method: str = "cn_ab2_packed",
 ) -> jax.Array:
     grid = solver.grid
     w0 = jax.vmap(
         lambda k: grf_2d(k, grid, alpha=grf_alpha, tau=grf_tau, sigma=grf_sigma)
     )(keys)
     traj = jax.vmap(
-        solver.make_trajectory_fn_nu("cn_heun_packed"), in_axes=(0, 0, None)
+        solver.make_trajectory_fn_nu(method), in_axes=(0, 0, None)
     )
     snaps = traj(w0, nu, jnp.asarray(inner_steps, jnp.int32))
     n = grid.n
@@ -152,6 +158,7 @@ def generate_ns_batch(
         out = _generate_bucket(
             keys, nu, re_norm, solver, inner,
             gen_cfg.grf_alpha, gen_cfg.grf_tau, gen_cfg.grf_sigma,
+            method=gen_cfg.method,
         )
         return np.asarray(jax.device_get(_to_storage(out, gen_cfg)))
 
@@ -197,6 +204,7 @@ def generate_ns_batch(
             gen_cfg.grf_alpha,
             gen_cfg.grf_tau,
             gen_cfg.grf_sigma,
+            method=gen_cfg.method,
         )
         out[idx_raw] = np.asarray(jax.device_get(_to_storage(res, gen_cfg)))[:n_real]
     return out

@@ -9,6 +9,12 @@ from pregen_pde_tpu.parallel.pipeline import (
     pipeline_apply,
     stack_stage_params,
 )
+from pregen_pde_tpu.parallel.fsdp import (
+    fsdp_sharding,
+    make_fsdp_mesh,
+    make_fsdp_train_step,
+    shard_for_fsdp,
+)
 from pregen_pde_tpu.parallel.tensor_parallel import (
     channel_sharded_params,
     make_tp_mesh,
@@ -28,4 +34,8 @@ __all__ = [
     "make_pp_mesh",
     "pipeline_apply",
     "stack_stage_params",
+    "fsdp_sharding",
+    "make_fsdp_mesh",
+    "make_fsdp_train_step",
+    "shard_for_fsdp",
 ]

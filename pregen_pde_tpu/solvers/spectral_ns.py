@@ -201,12 +201,21 @@ class NSVorticitySolver:
             out = out - self.cfg.drag * w_hat
         return out
 
-    def _build_traj_packed(self, inner_steps=None):
+    def _build_traj_packed(self, inner_steps=None, scheme: str = "heun"):
         """``inner_steps`` may be a Python int (baked in) OR a traced int32
         scalar passed at call time (`traj(w0, nu, inner_steps)`) — the traced
         form lets ONE compiled program serve every difficulty-horizon bucket
         (the reference's Re-dependent `RE_TIME_SCHEDULE` would otherwise force
-        a recompile per horizon)."""
+        a recompile per horizon).
+
+        ``scheme``:
+          - "heun" — CN + Heun (RK2): 2 RHS evals/step (6 complex FFTs).
+          - "ab2"  — CN + Adams-Bashforth-2: 1 RHS eval/step (3 complex
+            FFTs) — the scheme of the canonical FNO dataset generator.
+            Bootstraps with one forward-Euler step (nprev := rhs(w0) makes
+            step 0 exactly Euler); a single O(dt²)-local-error step keeps the
+            global order at 2. ~1.8x throughput on the FFT-bound north star.
+        """
         cfg = self.cfg
         grid = self.grid
         n = grid.n
@@ -238,17 +247,39 @@ class NSVorticitySolver:
             def rhs(wh):
                 return self._rhs_explicit_full(wh, f_hat, kx, ky, inv_k2, dealias)
 
-            def one(i, wh):
-                n1 = rhs(wh)
-                pred = (wh * visc_num + dt * n1) * visc_den
-                n2 = rhs(pred)
-                return (wh * visc_num + 0.5 * dt * (n1 + n2)) * visc_den
+            if scheme == "heun":
 
-            def snapshot_body(w_hat, _):
-                w_hat = jax.lax.fori_loop(0, inner_steps, one, w_hat)
-                return w_hat, jnp.real(jnp.fft.ifft2(w_hat))
+                def one(i, wh):
+                    n1 = rhs(wh)
+                    pred = (wh * visc_num + dt * n1) * visc_den
+                    n2 = rhs(pred)
+                    return (wh * visc_num + 0.5 * dt * (n1 + n2)) * visc_den
 
-            _, snaps = jax.lax.scan(snapshot_body, w_hat0, None, length=cfg.n_snapshots)
+                def snapshot_body(w_hat, _):
+                    w_hat = jax.lax.fori_loop(0, inner_steps, one, w_hat)
+                    return w_hat, jnp.real(jnp.fft.ifft2(w_hat))
+
+                _, snaps = jax.lax.scan(
+                    snapshot_body, w_hat0, None, length=cfg.n_snapshots
+                )
+            elif scheme == "ab2":
+
+                def one_ab2(i, carry):
+                    wh, nprev = carry
+                    n1 = rhs(wh)
+                    wh2 = (wh * visc_num + dt * (1.5 * n1 - 0.5 * nprev)) * visc_den
+                    return (wh2, n1)
+
+                def snapshot_body(carry, _):
+                    carry = jax.lax.fori_loop(0, inner_steps, one_ab2, carry)
+                    return carry, jnp.real(jnp.fft.ifft2(carry[0]))
+
+                _, snaps = jax.lax.scan(
+                    snapshot_body, (w_hat0, rhs(w_hat0)), None,
+                    length=cfg.n_snapshots,
+                )
+            else:
+                raise ValueError(f"unknown packed scheme {scheme!r}")
             if cfg.include_initial:
                 snaps = jnp.concatenate([w0[None], snaps], axis=0)
             return snaps
@@ -307,6 +338,9 @@ class NSVorticitySolver:
         if method == "cn_heun_packed":
             base = self._build_traj_packed(inner_steps)
             return lambda w0: base(w0)
+        if method == "cn_ab2_packed":
+            base = self._build_traj_packed(inner_steps, scheme="ab2")
+            return lambda w0: base(w0)
         base = self._build_traj(method, traced_nu=False, inner_steps=inner_steps)
         return lambda w0: base(w0)
 
@@ -316,6 +350,8 @@ class NSVorticitySolver:
         of Reynolds numbers (reference difficulty: `Regular/main.py:474-518`)."""
         if method == "cn_heun_packed":
             return self._build_traj_packed(inner_steps)
+        if method == "cn_ab2_packed":
+            return self._build_traj_packed(inner_steps, scheme="ab2")
         return self._build_traj(method, traced_nu=True, inner_steps=inner_steps)
 
     def make_batched_trajectory_fn(self, method: str = "cn_heun"):

@@ -57,6 +57,11 @@ class TrainerConfig:
     # rematerialize the forward pass in backward (jax.checkpoint) — trades
     # FLOPs for HBM on big scOT configs
     remat: bool = False
+    # FSDP/ZeRO over the mesh "data" axis (beyond-reference; SURVEY §2.6 lists
+    # FSDP as absent upstream): 1 = shard optimizer state only (ZeRO-1),
+    # 3 = shard params + optimizer state (ZeRO-3/full FSDP). None = replicate
+    # (plain DP, ≡ DDP).
+    zero_stage: int | None = None
 
 
 class TrainState(train_state.TrainState):
@@ -176,10 +181,35 @@ class Trainer:
         # backends (the axon TPU tunnel) don't implement device_put of typed
         # host scalars during jit arg sharding
         state = state.replace(step=jnp.zeros((), jnp.int32))
-        # replicate model state over the mesh; batches get the data axis
-        state = jax.device_put(state, replicated(self.mesh))
+        # place model state over the mesh (replicated for plain DP, sharded
+        # under ZeRO); batches get the data axis
+        self._state_sh, self._params_sh = self._make_state_sharding(state)
+        state = jax.device_put(state, self._state_sh)
         self.state = state
         return state
+
+    def _make_state_sharding(self, state):
+        """(state sharding pytree, params sharding pytree) per cfg.zero_stage."""
+        if self.cfg.zero_stage is None:
+            return replicated(self.mesh), replicated(self.mesh)
+        from pregen_pde_tpu.parallel.fsdp import (
+            fsdp_sharding,
+            replicated_sharding,
+        )
+
+        if self.cfg.zero_stage == 3:
+            params_sh = fsdp_sharding(state.params, self.mesh)
+        elif self.cfg.zero_stage == 1:
+            params_sh = replicated_sharding(state.params, self.mesh)
+        else:
+            raise ValueError(f"zero_stage must be None, 1 or 3, got "
+                             f"{self.cfg.zero_stage}")
+        state_sh = state.replace(
+            step=replicated(self.mesh),
+            params=params_sh,
+            opt_state=fsdp_sharding(state.opt_state, self.mesh),
+        )
+        return state_sh, params_sh
 
     # -- steps ---------------------------------------------------------------
 
@@ -209,7 +239,16 @@ class Trainer:
         # memory and avoids per-step buffer churn through the TPU tunnel);
         # the fit loop reassigns self.state every step so the donated
         # buffers are never reused
-        @partial(jax.jit, donate_argnums=(0,))
+        # under ZeRO, pin the output state to its sharded layout — without
+        # the pin XLA may re-replicate the updated params and silently
+        # forfeit the memory savings
+        out_sh = (
+            (self._state_sh, None)
+            if self.cfg.zero_stage is not None and hasattr(self, "_state_sh")
+            else None
+        )
+
+        @partial(jax.jit, donate_argnums=(0,), out_shardings=out_sh)
         def train_step(state: TrainState, batch: dict):
             def compute(params):
                 if full_loss_fn is not None:
@@ -320,7 +359,10 @@ class Trainer:
     def restore_best(self):
         if self.best_params is not None:
             self.state = self.state.replace(
-                params=jax.device_put(self.best_params, replicated(self.mesh))
+                params=jax.device_put(
+                    self.best_params,
+                    getattr(self, "_params_sh", replicated(self.mesh)),
+                )
             )
         return self.state
 
@@ -339,6 +381,8 @@ class Trainer:
             step, args=ocp.args.StandardRestore(template)
         )
         self.state = self.state.replace(
-            params=jax.device_put(params, replicated(self.mesh))
+            params=jax.device_put(
+                params, getattr(self, "_params_sh", replicated(self.mesh))
+            )
         )
         return step

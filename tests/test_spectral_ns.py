@@ -43,9 +43,14 @@ def numpy_ns_oracle(w0, nu, dt, n_steps, forcing=None, length=1.0, method="cn_he
     num = 1.0 - 0.5 * dt * nu * K2
     den = 1.0 / (1.0 + 0.5 * dt * nu * K2)
     w_hat = np.fft.fft2(w0)
+    n_prev = expl(w_hat) if method == "cn_ab2" else None
     for _ in range(n_steps):
         if method == "cn_euler":
             w_hat = (w_hat * num + dt * expl(w_hat)) * den
+        elif method == "cn_ab2":
+            n1 = expl(w_hat)
+            w_hat = (w_hat * num + dt * (1.5 * n1 - 0.5 * n_prev)) * den
+            n_prev = n1
         else:
             n1 = expl(w_hat)
             w_pred = (w_hat * num + dt * n1) * den
@@ -148,3 +153,52 @@ def test_packed_path_matches_rfft_path():
     a = np.asarray(solver.make_trajectory_fn("cn_heun")(w0))
     b = np.asarray(solver.make_trajectory_fn("cn_heun_packed")(w0))
     np.testing.assert_allclose(a, b, atol=1e-13)
+
+
+def test_ab2_matches_numpy_oracle():
+    """CN+AB2 packed stepper vs an independent numpy AB2 mirror (f64,
+    rtol 1e-6) — the 1-RHS-eval/step production scheme."""
+    n = 32
+    cfg = NSVorticityConfig(
+        resolution=n, viscosity=1e-3, length=1.0, dt=5e-4, t_end=0.05,
+        n_snapshots=1, forcing="fno", include_initial=False,
+    )
+    solver = NSVorticitySolver(cfg)
+    w0 = np.asarray(grf_2d(jax.random.key(7), solver.grid, dtype=jnp.float64))
+    from pregen_pde_tpu.solvers.spectral_ns import make_forcing
+
+    forcing = make_forcing(cfg, solver.grid)
+    got = solver.make_trajectory_fn("cn_ab2_packed")(jnp.asarray(w0))
+    expected = numpy_ns_oracle(w0, 1e-3, 5e-4, 100, forcing=forcing,
+                               method="cn_ab2")
+    np.testing.assert_allclose(np.asarray(got[-1]), expected,
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_ab2_second_order_and_agrees_with_heun():
+    """AB2 and Heun converge to the same solution: ‖AB2(dt) − Heun(dt/4)‖
+    shrinks ~O(dt²) under refinement, and at the production-like dt the two
+    schemes agree to well under the data's useful precision."""
+    n = 32
+    base_dt = 1e-3
+    t_end = 0.04
+
+    def run(method, dt):
+        cfg = NSVorticityConfig(
+            resolution=n, viscosity=1e-3, dt=dt, t_end=t_end,
+            n_snapshots=1, forcing="fno", include_initial=False,
+        )
+        solver = NSVorticitySolver(cfg)
+        w0 = grf_2d(jax.random.key(9), solver.grid, dtype=jnp.float64)
+        return np.asarray(solver.make_trajectory_fn(method)(w0)[-1])
+
+    ref = run("cn_heun_packed", base_dt / 8)
+    err_c = np.abs(run("cn_ab2_packed", base_dt) - ref).max()
+    err_f = np.abs(run("cn_ab2_packed", base_dt / 2) - ref).max()
+    order = np.log2(err_c / err_f)
+    assert order > 1.6, f"AB2 convergence order {order:.2f} < 1.6"
+    # at equal dt the two 2nd-order schemes agree closely
+    diff = np.abs(run("cn_ab2_packed", base_dt / 2) -
+                  run("cn_heun_packed", base_dt / 2)).max()
+    scale = np.abs(ref).max()
+    assert diff / scale < 1e-4, f"AB2 vs Heun rel diff {diff/scale:.2e}"

@@ -139,6 +139,49 @@ def _load_data(path):
     return np.load(path, mmap_mode="r")
 
 
+def _trainer_cfg(args, ckpt=None):
+    from pregen_pde_tpu.training.trainer import TrainerConfig
+
+    return TrainerConfig(
+        learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        ckpt_dir=ckpt,
+        compute_dtype=getattr(args, "compute_dtype", None),
+        zero_stage=getattr(args, "zero_stage", None),
+        remat=bool(getattr(args, "remat", False)),
+    )
+
+
+def _restore_params(ckpt_dir, model, sample_input, sample_time=None):
+    """Restore params from the newest orbax checkpoint using a jitted-init
+    template (shapes/dtypes for StandardRestore)."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    mgr = ocp.CheckpointManager(Path(ckpt_dir).absolute())
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+    t = sample_time if sample_time is not None else jnp.ones((1,))
+    template = jax.jit(
+        lambda k: model.init(k, jnp.asarray(sample_input)[None], t)["params"]
+    )(jax.random.key(0))
+    return mgr.restore(step, args=ocp.args.StandardRestore(
+        jax.device_get(template)))
+
+
+def _parse_ar_steps(spec: str, t_steps: int):
+    """`set_ar_steps` grammar (≡ `scOT/trainer.py:229-316`): an int n →
+    n homogeneous steps over the full horizon; a comma list → heterogeneous
+    step sizes."""
+    from pregen_pde_tpu.training.ar import homogeneous_steps
+
+    if "," in spec:
+        return [int(x) for x in spec.split(",")]
+    return homogeneous_steps(t_steps, int(spec))
+
+
 def _cmd_train(args):
     import numpy as np
     from pregen_pde_tpu.training.datasets import (
@@ -151,6 +194,42 @@ def _cmd_train(args):
 
     data = np.asarray(_load_data(args.data))
     t_steps = data.shape[1] - 1
+
+    if args.ar_steps is not None:
+        # AR-rollout training (≡ scOT set_ar_steps / the baselines' unroll):
+        # trajectory batches {seed frame, label sequence}, loss averaged over
+        # rollout steps, prediction fed back (teacher forcing optional)
+        from pregen_pde_tpu.training.ar import TrajectoryBatcher, make_ar_loss
+
+        steps = _parse_ar_steps(args.ar_steps, t_steps)
+        if sum(steps) > t_steps:
+            raise SystemExit(
+                f"--ar-steps {args.ar_steps} covers {sum(steps)} steps but the "
+                f"data has only {t_steps}")
+        mean = data[..., :3].mean((0, 1, 2, 3))
+        std = data[..., :3].std((0, 1, 2, 3)) + 1e-8
+        model = _make_model(args.model, data.shape[2])
+        batcher = TrajectoryBatcher(data, steps=steps, mean=mean, std=std)
+        loss_fn = make_ar_loss(model.apply, steps,
+                               teacher_forcing=args.teacher_forcing)
+        n = data.shape[0]
+        bs = min(args.batch_size, n)
+
+        class ARLoader:
+            def __len__(self):
+                return max(n // bs, 1)
+
+            def __iter__(self):
+                for s in range(len(self)):
+                    yield batcher.make_batch(
+                        np.arange(s * bs, min((s + 1) * bs, n)))
+
+        trainer = Trainer(model, _trainer_cfg(args), full_loss_fn=loss_fn)
+        result = trainer.fit(ARLoader(),
+                             log_fn=lambda rec: print(json.dumps(rec)))
+        print(json.dumps({"final_train_loss":
+                          result["history"][-1]["train_loss"]}))
+        return
     # transition grammar ≡ `TrainCNO_time_L.py:151-163`
     allowed = {
         "one": [1],
@@ -166,11 +245,7 @@ def _cmd_train(args):
     train = TimePairDataset(data, cfg, "train")
     val = TimePairDataset(data, cfg, "val", mean=train.mean, std=train.std)
     model = _make_model(args.model, data.shape[2])
-    tcfg = TrainerConfig(
-        learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
-        ckpt_dir=args.ckpt,
-    )
-    trainer = Trainer(model, tcfg)
+    trainer = Trainer(model, _trainer_cfg(args, ckpt=args.ckpt))
     result = trainer.fit(
         make_batch_loader(train, args.batch_size, seed=0),
         val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},
@@ -296,6 +371,140 @@ def _cmd_sweep_eval(args):
     print(json.dumps(results))
 
 
+def _cmd_finetune(args):
+    """Foundation-model fine-tuning (≡ `CNO_FineTune.py` + `fine_tune_lift.py`):
+    wrap a pretrained checkpoint with 1×1-conv dimension adapters when the
+    target task's channel counts differ, train with the reference's 3-tier
+    learning rates (base / norm / adapter)."""
+    import jax
+    import numpy as np
+    from pregen_pde_tpu.training.datasets import (
+        BatchLoader,
+        TimePairConfig,
+        TimePairDataset,
+    )
+    from pregen_pde_tpu.training.finetune import (
+        AdapterWrapper,
+        DEFAULT_FT_TIERS,
+        finetune_tier_fn,
+    )
+    from pregen_pde_tpu.training.native_loader import make_batch_loader
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    data = np.asarray(_load_data(args.data))
+    t_steps = data.shape[1] - 1
+    cfg = TimePairConfig(
+        max_num_time_steps=t_steps, allowed_transitions=[1],
+        n_val=max(2, data.shape[0] // 10), n_test=max(2, data.shape[0] // 10),
+    )
+    train = TimePairDataset(data, cfg, "train")
+    val = TimePairDataset(data, cfg, "val", mean=train.mean, std=train.std)
+
+    base = _make_model(args.model, data.shape[2])
+    # restore the pretrained base on ITS OWN input signature
+    base_inp = np.zeros((args.base_in_size, args.base_in_size,
+                         args.base_in_channels), np.float32)
+    try:
+        base_params = _restore_params(args.pretrained, base, base_inp)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e)) from None
+
+    _, inp0, lab0 = train[0]
+    model = AdapterWrapper(base=base, base_in_channels=args.base_in_channels,
+                           out_channels=lab0.shape[-1])
+    import jax.numpy as jnp
+
+    params = jax.jit(
+        lambda k: model.init(k, jnp.asarray(inp0)[None], jnp.ones((1,)))["params"]
+    )(jax.random.key(args_seed(args)))
+    if "base" in params:
+        params = dict(params)
+        params["base"] = base_params  # graft the pretrained backbone in
+
+    tcfg = TrainerConfig(
+        learning_rate=DEFAULT_FT_TIERS["base"], epochs=args.epochs,
+        batch_size=args.batch_size, ckpt_dir=args.ckpt,
+        lr_tiers=DEFAULT_FT_TIERS,
+    )
+    trainer = Trainer(model, tcfg, tier_fn=finetune_tier_fn)
+    first = next(iter(make_batch_loader(train, args.batch_size, seed=0)))
+    trainer.init_state(first, steps_per_epoch=max(len(train) // args.batch_size, 1))
+    trainer.state = trainer.state.replace(params=jax.device_put(
+        params, jax.tree_util.tree_map(lambda l: l.sharding,
+                                       trainer.state.params)))
+    result = trainer.fit(
+        make_batch_loader(train, args.batch_size, seed=0),
+        val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},
+        log_fn=lambda rec: print(json.dumps(rec)),
+    )
+    print(json.dumps({"best_mean_val_rel_%": result["best_metric"]}))
+
+
+def args_seed(args):
+    return getattr(args, "seed", 0)
+
+
+def _test_dataset(data, model_name):
+    """(model, test TimePairDataset normalized with train stats)."""
+    from pregen_pde_tpu.training.datasets import TimePairConfig, TimePairDataset
+
+    t_steps = data.shape[1] - 1
+    cfg = TimePairConfig(
+        max_num_time_steps=t_steps, allowed_transitions=None,
+        n_val=max(2, data.shape[0] // 10), n_test=max(2, data.shape[0] // 10),
+    )
+    train = TimePairDataset(data, cfg, "train")
+    test = TimePairDataset(data, cfg, "test", mean=train.mean, std=train.std)
+    return _make_model(model_name, data.shape[2]), test
+
+
+def _cmd_save_samples(args):
+    """Dump (input, prediction, label) samples to NPZ (≡ `scOT/inference.py`
+    save_samples) and optionally render a prediction grid PNG."""
+    import numpy as np
+
+    from pregen_pde_tpu.evalx.inference import save_samples
+
+    data = np.asarray(_load_data(args.data))
+    model, test = _test_dataset(data, args.model)
+    _, inp0, _ = test[0]
+    try:
+        params = _restore_params(args.ckpt, model, inp0)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e)) from None
+    path = save_samples(model.apply, params, test, args.out,
+                        n_samples=args.n_samples)
+    out = {"samples": path}
+    if args.plot:
+        from pregen_pde_tpu.evalx.plots import plot_from_samples
+
+        out["plot"] = plot_from_samples(path, args.plot)
+    print(json.dumps(out))
+
+
+def _cmd_resolutions(args):
+    """Resolution-transfer evaluation (≡ `scOT/inference.py`
+    eval_resolutions): FFT-resample inputs to each resolution, predict,
+    FFT-resample back, measure error."""
+    import numpy as np
+
+    from pregen_pde_tpu.evalx.inference import resolution_eval
+
+    data = np.asarray(_load_data(args.data))
+    model, test = _test_dataset(data, args.model)
+    _, inp0, _ = test[0]
+    try:
+        params = _restore_params(args.ckpt, model, inp0)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e)) from None
+    res = resolution_eval(
+        model.apply, params, test,
+        resolutions=[int(r) for r in args.resolutions.split(",")],
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(res))
+
+
 def _cmd_preflight(args):
     import numpy as np
     from pregen_pde_tpu.utils.preflight import check_contract
@@ -349,7 +558,55 @@ def main(argv=None):
     t.add_argument("--transitions", default="one",
                    choices=["one", "one2all", "all"])
     t.add_argument("--ckpt", default=None)
+    t.add_argument("--ar-steps", default=None,
+                   help="AR-rollout training (≡ scOT set_ar_steps): int n = "
+                        "n homogeneous steps, comma list = heterogeneous")
+    t.add_argument("--teacher-forcing", action="store_true",
+                   help="feed ground truth back in AR training (baselines' "
+                        "unroll) instead of the detached prediction")
+    t.add_argument("--compute-dtype", default=None,
+                   choices=["bfloat16", "float32"],
+                   help="mixed precision: bf16 compute, f32 master weights")
+    t.add_argument("--zero-stage", type=int, default=None, choices=[1, 3],
+                   help="FSDP/ZeRO: 1 = shard optimizer state, 3 = shard "
+                        "params + optimizer state over the data axis")
+    t.add_argument("--remat", action="store_true",
+                   help="rematerialize forward in backward (saves HBM)")
     t.set_defaults(fn=_cmd_train)
+
+    ft = sub.add_parser("finetune")
+    ft.add_argument("--model", default="cno",
+                    help="base (pretrained) model family")
+    ft.add_argument("--pretrained", required=True,
+                    help="orbax checkpoint dir of the pretrained base")
+    ft.add_argument("--data", required=True)
+    ft.add_argument("--base-in-channels", type=int, default=7,
+                    help="input channels the pretrained base expects")
+    ft.add_argument("--base-in-size", type=int, default=128,
+                    help="grid size the pretrained base was built for")
+    ft.add_argument("--epochs", type=int, default=10)
+    ft.add_argument("--batch-size", type=int, default=16)
+    ft.add_argument("--ckpt", default=None)
+    ft.add_argument("--seed", type=int, default=0)
+    ft.set_defaults(fn=_cmd_finetune)
+
+    ss = sub.add_parser("save-samples")
+    ss.add_argument("--model", default="fno")
+    ss.add_argument("--data", required=True)
+    ss.add_argument("--ckpt", required=True)
+    ss.add_argument("--out", required=True, help="output .npz path")
+    ss.add_argument("--n-samples", type=int, default=8)
+    ss.add_argument("--plot", default=None,
+                    help="also render a prediction-grid PNG to this path")
+    ss.set_defaults(fn=_cmd_save_samples)
+
+    rz = sub.add_parser("resolutions")
+    rz.add_argument("--model", default="fno")
+    rz.add_argument("--data", required=True)
+    rz.add_argument("--ckpt", required=True)
+    rz.add_argument("--resolutions", default="64,128,256")
+    rz.add_argument("--batch-size", type=int, default=16)
+    rz.set_defaults(fn=_cmd_resolutions)
 
     m = sub.add_parser("mix-sweep")
     m.add_argument("--model", default="fno")

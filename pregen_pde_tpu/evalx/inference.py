@@ -16,9 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pregen_pde_tpu.models.scot import fft_resize
+from pregen_pde_tpu.models.scot import fft_resize as _fft_resize_eager
 from pregen_pde_tpu.training.datasets import TIME_NORMALIZER
 from pregen_pde_tpu.training.metrics import relative_lp_error
+
+# fft_resize builds complex intermediates; run it under jit — EAGER complex
+# ops (pad with a host complex zero, etc.) are unimplemented on tunneled TPU
+# backends (CLAUDE.md gotcha), and jit compiles once per (shape, target).
+fft_resize = jax.jit(_fft_resize_eager, static_argnums=1)
 
 
 def _prep_inputs(dataset, idx, out_channels):

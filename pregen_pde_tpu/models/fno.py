@@ -34,7 +34,11 @@ class SpectralConv2d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, H, W, C)
         b, h, w, c = x.shape
-        # clamp retained modes to what the resolution supports
+        # Weight shapes are FIXED by self.modes (resolution-independent) —
+        # FNO's resolution invariance means params trained at one grid apply
+        # at any other. At apply time only the modes the current resolution
+        # supports participate; the rest of the (fixed-shape) weight block is
+        # simply unused when the grid is smaller than 2*modes.
         m1 = min(self.modes1, h // 2)
         m2 = min(self.modes2, w // 2 + 1)
         scale = 1.0 / (c * self.out_channels)
@@ -43,19 +47,19 @@ class SpectralConv2d(nn.Module):
             re = self.param(
                 f"{name}_re",
                 nn.initializers.uniform(scale),
-                (c, m1, m2, self.out_channels),
+                (c, self.modes1, self.modes2, self.out_channels),
                 jnp.float32,
             )
             im = self.param(
                 f"{name}_im",
                 nn.initializers.uniform(scale),
-                (c, m1, m2, self.out_channels),
+                (c, self.modes1, self.modes2, self.out_channels),
                 jnp.float32,
             )
             # spectral weights always act in f32 (TPU FFT is f32; bf16
             # compute_dtype upstream casts params, so upcast here)
             return jax.lax.complex(re.astype(jnp.float32),
-                                   im.astype(jnp.float32))
+                                   im.astype(jnp.float32))[:, :m1, :m2, :]
 
         w_pos = cplx_param("w_pos")  # modes [0, m1)
         w_neg = cplx_param("w_neg")  # modes [-m1, 0)

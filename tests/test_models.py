@@ -121,3 +121,35 @@ def test_no_weak_typed_params_and_single_trace_step():
         for _ in range(3):
             p, o, _ = step(p, o)
         assert traces[0] == 1, f"{type(model).__name__}: retraced {traces[0]}x"
+
+
+def test_fno_resolution_invariance():
+    """Params trained at one grid apply at another (weight shapes are fixed
+    by `modes`, not by the input resolution) — the FNO's defining property,
+    exercised by the `resolutions` CLI / `evalx.resolution_eval`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pregen_pde_tpu.models.fno import FNO2d
+
+    model = FNO2d(out_channels=3, modes=12, width=8, n_layers=1)
+    x16 = jnp.ones((2, 16, 16, 7))
+    params = model.init(jax.random.key(0), x16, jnp.ones((2,)))["params"]
+    # weight shape comes from modes, not resolution
+    assert params["SpectralConv2d_0"]["w_pos_re"].shape[1:3] == (12, 12)
+    y16 = model.apply({"params": params}, x16, jnp.ones((2,)))
+    assert y16.shape == (2, 16, 16, 3)
+    # same params at 32x32 and 64x64
+    for n in (32, 64):
+        xn = jnp.ones((2, n, n, 7))
+        yn = model.apply({"params": params}, xn, jnp.ones((2,)))
+        assert yn.shape == (2, n, n, 3)
+        assert np.isfinite(np.asarray(yn)).all()
+    # constant-input outputs agree across resolutions (only the k=0 mode is
+    # active, which every resolution retains)
+    np.testing.assert_allclose(
+        np.asarray(y16[:, 0, 0]),
+        np.asarray(model.apply({"params": params}, jnp.ones((2, 64, 64, 7)),
+                               jnp.ones((2,)))[:, 0, 0]),
+        rtol=2e-2,
+    )

@@ -116,6 +116,113 @@ def _get_matrix(n_in, f, up, down, p0, p1, flip_filter, gain):
     return m
 
 
+# ---------------------------------------------------------------------------
+# Banded-blocked MXU lowering (large resolutions)
+# ---------------------------------------------------------------------------
+# The dense 1-D operator is BANDED: column j has ≤⌈taps/up⌉ nonzeros around
+# row j·down/up. The dense einsum therefore wastes n_in/Bi of its FLOPs once
+# n_in ≫ taps. Blocked form: split the output axis into blocks of Bo, gather
+# the Bi-row input window each block actually touches, and contract with the
+# per-block (Bi, Bo) slice of the dense matrix — a batched MXU matmul whose
+# FLOPs scale as n_out·taps instead of n_out·n_in. Built numerically FROM the
+# exact dense matrix, so pad/crop edge semantics are inherited, and windows
+# are clamped to stay in bounds (edge blocks just see a few extra zero rows).
+
+_BLOCK_CACHE: dict = {}
+
+
+def _blocked_operator(n_in, f, up, down, p0, p1, flip_filter, gain,
+                      block_out: int = 128):
+    """→ (index (nJ, Bi) int32 gather rows, T (nJ, Bi, Bo) float32), or None
+    when no useful blocking exists (tiny outputs or no divisor)."""
+    key = ("blk", n_in, f.tobytes(), up, down, p0, p1, flip_filter,
+           round(gain, 12), block_out)
+    hit = _BLOCK_CACHE.get(key, "miss")
+    if hit != "miss":
+        return hit
+    M = _upfirdn1d_matrix(n_in, f, up, down, p0, p1, flip_filter, gain)
+    n_out = M.shape[1]
+    bo = block_out
+    n_blocks = -(-n_out // bo)  # ragged: last block zero-padded, then sliced
+    result = None
+    if n_blocks >= 2:
+        Mp = np.pad(M, ((0, 0), (0, n_blocks * bo - n_out)))
+        starts, widths = [], []
+        for j in range(n_blocks):
+            nz = np.nonzero(np.any(Mp[:, j * bo:(j + 1) * bo] != 0, axis=1))[0]
+            if len(nz) == 0:
+                starts.append(0)
+                widths.append(1)
+            else:
+                starts.append(int(nz[0]))
+                widths.append(int(nz[-1] - nz[0] + 1))
+        bi = min(-(-max(widths) // 8) * 8, n_in)  # sublane-align the window
+        if bi * 2 <= n_in:  # only worth it when ≥2x FLOP savings
+            starts = np.asarray([min(s, n_in - bi) for s in starts], np.int64)
+            t = np.stack(
+                [Mp[s:s + bi, j * bo:(j + 1) * bo]
+                 for j, s in enumerate(starts)]
+            ).astype(np.float32)
+            index = (starts[:, None] + np.arange(bi)[None, :]).astype(np.int32)
+            result = (index, t, n_out)
+    _BLOCK_CACHE[key] = result
+    return result
+
+
+def _apply_blocked_w(x, index, t, n_out):
+    """x (B,H,W,C) → (B,H,n_out,C) via the blocked operator along W."""
+    b, h, _, c = x.shape
+    nj, bi, bo = t.shape
+    xw = x[:, :, jnp.asarray(index), :]  # (B, H, nJ, Bi, C)
+    y = jnp.einsum("bhjic,jio->bhjoc", xw, jnp.asarray(t, x.dtype),
+                   precision=jax.lax.Precision.HIGH)
+    return y.reshape(b, h, nj * bo, c)[:, :, :n_out, :]
+
+
+def _apply_blocked_h(x, index, t, n_out):
+    """x (B,H,W,C) → (B,n_out,W,C) via the blocked operator along H."""
+    b, _, w, c = x.shape
+    nj, bi, bo = t.shape
+    xh = x[:, jnp.asarray(index), :, :]  # (B, nJ, Bi, W, C)
+    y = jnp.einsum("bjiwc,jio->bjowc", xh, jnp.asarray(t, x.dtype),
+                   precision=jax.lax.Precision.HIGH)
+    return y.reshape(b, nj * bo, w, c)[:, :n_out, :, :]
+
+
+# Measured on-chip (v5e, filtered_lrelu chain, f32): dense beats blocked at
+# every size up to 1024² (256²: 3.9 vs 8.6 ms; 512²: 9.1 vs 23.5; 1024²:
+# 16.4 vs 21.3) — the window gather plus small-K batched matmuls underuse
+# the MXU more than the banded FLOP savings recover. `auto` therefore NEVER
+# routes here; `impl="blocked"` stays available (tested, bit-equal) for
+# hardware where gathers are cheaper. PERF.md roofline note has details.
+_BLOCKED_MIN_OUT = None  # disabled: dense wins at all measured sizes
+
+
+def _upfirdn2d_blocked(x, f_np, upx, upy, downx, downy, px0, px1, py0, py1,
+                       flip_filter, gain):
+    """Blocked pass per axis where profitable, dense einsum otherwise.
+    Returns None if neither axis has a blocked form (caller falls back)."""
+    bw = _blocked_operator(x.shape[2], f_np, upx, downx, px0, px1,
+                           flip_filter, gain)
+    if bw is not None:
+        x = _apply_blocked_w(x, *bw)
+    else:
+        mw = _get_matrix(x.shape[2], f_np, upx, downx, px0, px1, flip_filter,
+                         gain)
+        x = jnp.einsum("bhwc,wo->bhoc", x, jnp.asarray(mw, x.dtype),
+                       precision=jax.lax.Precision.HIGH)
+    bh = _blocked_operator(x.shape[1], f_np, upy, downy, py0, py1,
+                           flip_filter, gain)
+    if bh is not None:
+        x = _apply_blocked_h(x, *bh)
+    else:
+        mh = _get_matrix(x.shape[1], f_np, upy, downy, py0, py1, flip_filter,
+                         gain)
+        x = jnp.einsum("bhwc,ho->bowc", x, jnp.asarray(mh, x.dtype),
+                       precision=jax.lax.Precision.HIGH)
+    return x
+
+
 def _upfirdn2d_matmul(x, f_np, upx, upy, downx, downy, px0, px1, py0, py1,
                       flip_filter, gain):
     mw = _get_matrix(x.shape[2], f_np, upx, downx, px0, px1, flip_filter, gain)
@@ -148,7 +255,7 @@ def upfirdn2d(
     Returns ``[batch, out_height, out_width, channels]``.
     """
     assert x.ndim == 4
-    assert impl in ("auto", "conv", "matmul")
+    assert impl in ("auto", "conv", "matmul", "blocked")
     if f is None:
         f = jnp.ones((1, 1), jnp.float32)
     f_np = np.asarray(f, np.float32) if not isinstance(f, jax.core.Tracer) else None
@@ -158,21 +265,26 @@ def upfirdn2d(
     downx, downy = _parse_scaling(down)
     px0, px1, py0, py1 = parse_padding(padding)
 
-    # MXU path: separable filter, concrete taps, static spatial dims
+    # MXU paths: separable filter, concrete taps, static spatial dims
     if (
-        impl in ("auto", "matmul")
+        impl in ("auto", "matmul", "blocked")
         and f.ndim == 1
         and f_np is not None
         and not isinstance(x.shape[1], jax.core.Tracer)
     ):
         taps = f_np.shape[0]
         _check_min_size(x, upx, upy, px0, px1, py0, py1, taps, taps)
+        if impl == "blocked":
+            return _upfirdn2d_blocked(
+                x, f_np, upx, upy, downx, downy, px0, px1, py0, py1,
+                flip_filter, gain,
+            )
         return _upfirdn2d_matmul(
             x, f_np, upx, upy, downx, downy, px0, px1, py0, py1,
             flip_filter, gain,
         )
-    if impl == "matmul":
-        raise ValueError("matmul impl requires a concrete separable filter")
+    if impl in ("matmul", "blocked"):
+        raise ValueError(f"{impl} impl requires a concrete separable filter")
 
     # lhs_dilation yields in*up − (up−1); the contract zero-stuffs AFTER each
     # pixel (length in*up), so fold the missing trailing zeros into 'after' pad.

@@ -199,6 +199,77 @@ def test_matmul_path_matches_conv_path():
         )
 
 
+def test_blocked_path_matches_matmul_path():
+    """The banded-blocked lowering (large-resolution MXU path) equals the
+    dense matmul lowering bit-for-bit in f64 semantics (same operator matrix,
+    gathered windows) across up/down/pad/flip/gain and ragged sizes."""
+    f = design_lowpass_filter(12, 0.35, 0.3, 2.0)
+    for shape, up, down, pad, flip, gain in [
+        ((2, 64, 64, 3), 2, 1, 5, False, 4.0),
+        ((2, 64, 48, 3), 1, 2, 5, True, 1.0),
+        ((1, 96, 96, 2), 2, 2, 7, False, 2.0),
+        ((2, 60, 60, 3), 2, 1, 5, False, 4.0),  # odd n_out → partial fallback
+    ]:
+        x = jnp.asarray(_rand(shape, 21), jnp.float32)
+        a = upfirdn2d(x, f, up=up, down=down, padding=pad, flip_filter=flip,
+                      gain=gain, impl="matmul")
+        b = upfirdn2d(x, f, up=up, down=down, padding=pad, flip_filter=flip,
+                      gain=gain, impl="blocked")
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=f"{shape} {up} {down} {pad} {flip} {gain}",
+        )
+
+
+def test_blocked_operator_and_gradients():
+    """The blocked operator is well-formed (narrow in-bounds windows) and
+    gradients flow (gather + einsum are linear, XLA differentiates exactly).
+    Note `auto` never routes here — dense measured faster at all sizes on
+    TPU (see PERF.md); `blocked` is explicit-opt-in only."""
+    from pregen_pde_tpu.ops.upfirdn2d import _BLOCKED_MIN_OUT, _blocked_operator
+
+    f = design_lowpass_filter(12, 0.35, 0.3, 2.0)
+    # the blocked operator exists and the window is much narrower than n_in
+    blk = _blocked_operator(512, np.asarray(f, np.float32), 2, 1, 5, 5,
+                            False, 4.0)
+    assert blk is not None
+    index, t, n_out = blk
+    assert n_out == 512 * 2 + 10 - 12 + 1
+    assert t.shape[1] * 2 <= 512 and t.shape[1] >= 12
+    assert index.max() < 512 and index.min() >= 0
+    assert _BLOCKED_MIN_OUT is None  # auto-routing disabled by measurement
+
+    x = jnp.asarray(_rand((1, 48, 48, 2), 22), jnp.float32)
+
+    def loss(xx, impl):
+        return jnp.sum(upfirdn2d(xx, f, up=2, padding=5, gain=4.0,
+                                 impl=impl) ** 2)
+
+    ga = jax.grad(lambda xx: loss(xx, "matmul"))(x)
+    gb = jax.grad(lambda xx: loss(xx, "blocked"))(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
+
+
+def test_filtered_lrelu_blocked_consistency():
+    """The decomposed blocked pipeline matches filtered_lrelu (dense/auto)
+    at a large-resolution CNO same-size config."""
+    from pregen_pde_tpu.ops.filtered_lrelu import filtered_lrelu
+    from pregen_pde_tpu.ops.bias_act import bias_act
+    from pregen_pde_tpu.ops.upfirdn2d import upfirdn2d as _ufd
+
+    x = jnp.asarray(_rand((1, 300, 300, 2), 23), jnp.float32)
+    fu = design_lowpass_filter(12, 0.35, 0.3, 2.0)
+    fd = design_lowpass_filter(12, 0.35, 0.3, 2.0)
+    # padding chosen so out = in (the CNO same-size config)
+    pad = 10
+    a = filtered_lrelu(x, fu, fd, up=2, down=2, padding=pad)
+    y = bias_act(x, None, dim=-1)
+    y = _ufd(y, fu, up=2, padding=pad, gain=4, impl="blocked")
+    y = bias_act(y, act="lrelu", alpha=0.2, gain=float(np.sqrt(2)))
+    y = _ufd(y, fd, down=2, impl="blocked")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(y), atol=2e-4)
+
+
 # ---------------------------------------------------------------------------
 # conv2d_resample (reference torch_utils/ops/conv2d_resample.py:39-134)
 # ---------------------------------------------------------------------------

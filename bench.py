@@ -43,10 +43,13 @@ def main():
     w0 = jax.jit(jax.vmap(lambda k: grf_2d(k, solver.grid)))(keys)
     w0.block_until_ready()
 
-    # CN + Adams-Bashforth-2 (the canonical FNO-dataset scheme): 1 RHS eval
-    # per step = 3 complex FFTs vs Heun's 6 → 1.77x measured (both 2nd order;
-    # oracle-verified in tests/test_spectral_ns.py)
-    traj = jax.jit(jax.vmap(solver.make_trajectory_fn("cn_ab2_packed")))
+    # CN + Adams-Bashforth-2 (the canonical FNO-dataset scheme) as ONE fused
+    # Pallas kernel: VMEM-resident state, FFTs as CT radix-(128,2) MXU
+    # matmuls — ~10x the XLA-FFT packed stepper (which remains available as
+    # method="cn_ab2_packed"; agreement + spectrum validation in
+    # tests/test_spectral_ns_pallas.py and PERF.md).
+    method = "cn_ab2_pallas" if jax.default_backend() != "cpu" else "cn_ab2_packed"
+    traj = jax.jit(solver.make_batched_trajectory_fn(method))
 
     def run_sync():
         # device_get of a tiny slice forces real completion; block_until_ready
@@ -65,7 +68,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "trajectories/sec/chip (2D NS 256^2 vorticity, 2500 IMEX steps, 50 snapshots, packed-FFT CN+AB2)",
+                "metric": "trajectories/sec/chip (2D NS 256^2 vorticity, 2500 IMEX steps, 50 snapshots, fused Pallas CN+AB2, VMEM-resident CT-FFT)",
                 "value": round(traj_per_sec, 4),
                 "unit": "traj/s/chip",
                 "vs_baseline": round(traj_per_sec / BASELINE_TRAJ_PER_SEC, 2),

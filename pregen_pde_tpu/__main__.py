@@ -84,6 +84,8 @@ def _cmd_generate(args):
             batch_size=args.batch_size,
             vary_difficulty=not args.fixed_difficulty,
             storage_dtype=args.storage_dtype,
+            method=args.method,
+            time_scale=args.time_scale,
         )
         generate_ns_dataset(key, gen, args.n, writer=writer)
     else:
@@ -544,7 +546,17 @@ def main(argv=None):
     g.add_argument("--fixed-difficulty", action="store_true")
     g.add_argument("--forcing", default="fno",
                    choices=["fno", "kolmogorov", "none"])
-    g.add_argument("--time-scale", type=float, default=1.0)
+    g.add_argument("--time-scale", type=float, default=1.0,
+                   help="multiplies the Re->horizon difficulty schedule; for "
+                        "ns_spectral, 5e-4 reproduces the reference's "
+                        "500-13,500-step workload (1.0 = horizons in solver "
+                        "time units, 1M-27M steps)")
+    g.add_argument("--method", default="auto",
+                   choices=["auto", "cn_ab2_pallas", "cn_ab2_pallas_exact",
+                            "cn_ab2_packed", "cn_heun_packed"],
+                   help="ns_spectral stepper: auto = fused Pallas CN+AB2 "
+                        "kernel on TPU (~10x; 'exact' variant = f32-exact "
+                        "matmuls), XLA-FFT packed steppers otherwise")
     g.set_defaults(fn=_cmd_generate)
 
     t = sub.add_parser("train")

@@ -49,16 +49,39 @@ class GenerationConfig:
     grf_alpha: float = 2.5
     grf_tau: float = 7.0
     grf_sigma: float | None = None
+    # multiplies the Re→horizon schedule (in "schedule seconds",
+    # `Regular/main.py:969-998`) before mapping onto solver steps via dt.
+    # 1.0 integrates horizons in solver time units (1M-27M steps at
+    # dt=1e-4 — far beyond the reference workload); 5e-4 reproduces the
+    # reference's own step counts (dt 0.2 → 500-13,500 steps, BASELINE.md).
+    time_scale: float = 1.0
     # dataset storage dtype: "float16" halves device→host transfer and shard
     # size (solve stays f32; cast happens on device just before the fetch).
     # float16 covers the contract's dynamic range (|u|,|p| ≲ O(1), SDF/mask/Re
     # normalized) with ~1e-3 relative quantization.
     storage_dtype: str = "float32"
-    # time stepper: "cn_ab2_packed" (CN + Adams-Bashforth-2, 1 RHS eval/step,
-    # the canonical FNO-dataset scheme — 1.77x measured on the north star) or
-    # "cn_heun_packed" (CN + RK2, 2 evals/step). Both 2nd order,
-    # oracle-verified (`tests/test_spectral_ns.py`).
-    method: str = "cn_ab2_packed"
+    # time stepper: "auto" resolves to the fused Pallas CN+AB2 kernel
+    # ("cn_ab2_pallas", ~10x — PERF.md) on TPU when the grid supports it,
+    # else "cn_ab2_packed" (CN + Adams-Bashforth-2 over XLA FFTs, 1 RHS
+    # eval/step, the canonical FNO-dataset scheme). "cn_heun_packed" = CN +
+    # RK2, 2 evals/step. All 2nd order, oracle-verified
+    # (`tests/test_spectral_ns.py`, `tests/test_spectral_ns_pallas.py`).
+    method: str = "auto"
+
+
+def resolve_method(method: str, resolution: int, mesh=None) -> str:
+    """``"auto"`` → the fused Pallas kernel when it applies (TPU backend,
+    grid a multiple of 128, single-chip path), else the packed XLA-FFT
+    stepper. Multi-device meshes keep the jnp path: XLA SPMD partitions it
+    over the batch axis, whereas a `pallas_call` would need an explicit
+    `shard_map` wrapper."""
+    if method != "auto":
+        return method
+    from pregen_pde_tpu.solvers.spectral_ns_pallas import supported
+
+    if mesh is None and supported(resolution) and jax.default_backend() != "cpu":
+        return "cn_ab2_pallas"
+    return "cn_ab2_packed"
 
 
 def _pack_contract(
@@ -106,9 +129,12 @@ def _generate_bucket(
     w0 = jax.vmap(
         lambda k: grf_2d(k, grid, alpha=grf_alpha, tau=grf_tau, sigma=grf_sigma)
     )(keys)
-    traj = jax.vmap(
-        solver.make_trajectory_fn_nu(method), in_axes=(0, 0, None)
-    )
+    if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
+        traj = solver.make_batched_trajectory_fn_nu(method)
+    else:
+        traj = jax.vmap(
+            solver.make_trajectory_fn_nu(method), in_axes=(0, 0, None)
+        )
     snaps = traj(w0, nu, jnp.asarray(inner_steps, jnp.int32))
     n = grid.n
     mask = no_hole_mask(n)
@@ -130,6 +156,7 @@ def generate_ns_batch(
     cfg = gen_cfg.solver
     n_traj = n_traj or gen_cfg.batch_size
     solver = NSVorticitySolver(cfg)
+    method = resolve_method(gen_cfg.method, cfg.resolution, mesh)
     k_re, k_ic = jax.random.split(key)
     keys = jax.random.split(k_ic, n_traj)
 
@@ -158,12 +185,12 @@ def generate_ns_batch(
         out = _generate_bucket(
             keys, nu, re_norm, solver, inner,
             gen_cfg.grf_alpha, gen_cfg.grf_tau, gen_cfg.grf_sigma,
-            method=gen_cfg.method,
+            method=method,
         )
         return np.asarray(jax.device_get(_to_storage(out, gen_cfg)))
 
     re = schedules.sample_reynolds(k_re, n_traj, gen_cfg.re_mean, gen_cfg.re_std)
-    end_t = schedules.end_time_from_re(re)
+    end_t = schedules.end_time_from_re(re) * gen_cfg.time_scale
     re_norm = schedules.normalize_re(re)
     nu = schedules.viscosity_from_re(re)
 
@@ -204,7 +231,7 @@ def generate_ns_batch(
             gen_cfg.grf_alpha,
             gen_cfg.grf_tau,
             gen_cfg.grf_sigma,
-            method=gen_cfg.method,
+            method=method,
         )
         out[idx_raw] = np.asarray(jax.device_get(_to_storage(res, gen_cfg)))[:n_real]
     return out

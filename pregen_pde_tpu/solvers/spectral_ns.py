@@ -335,6 +335,9 @@ class NSVorticitySolver:
         writes (`Regular/main.py:1002-1047`), expressed as `lax.scan` over
         snapshot intervals with an inner `fori_loop` of solver steps.
         """
+        if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
+            batched = self.make_batched_trajectory_fn_nu(method, inner_steps)
+            return lambda w0: batched(w0[None])[0]
         if method == "cn_heun_packed":
             base = self._build_traj_packed(inner_steps)
             return lambda w0: base(w0)
@@ -356,10 +359,27 @@ class NSVorticitySolver:
 
     def make_batched_trajectory_fn(self, method: str = "cn_heun"):
         """vmap over a leading batch of initial vorticities: (B,n,n) → (B,T,n,n)."""
+        if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
+            return self.make_batched_trajectory_fn_nu(method)
         return jax.vmap(self.make_trajectory_fn(method))
 
     def make_batched_trajectory_fn_nu(self, method: str = "cn_heun", inner_steps: int | None = None):
-        """vmap over (B,n,n) ICs and (B,) viscosities → (B,T,n,n)."""
+        """vmap over (B,n,n) ICs and (B,) viscosities → (B,T,n,n).
+
+        ``method="cn_ab2_pallas"`` (TPU only) runs the whole CN+AB2 loop as
+        one fused VMEM-resident Mosaic kernel — ~10x the XLA-FFT path on the
+        north star (PERF.md); ``_exact`` = f32-exact matmuls, ~2.6x.
+        Signature gains an optional traced ``inner_steps`` third arg, same
+        as the packed jnp path.
+        """
+        if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
+            from pregen_pde_tpu.solvers.spectral_ns_pallas import build_batched_traj
+
+            return build_batched_traj(
+                self,
+                inner_steps,
+                precision="exact" if method.endswith("_exact") else "fast",
+            )
         return jax.vmap(self.make_trajectory_fn_nu(method, inner_steps))
 
     # -- diagnostics -------------------------------------------------------------

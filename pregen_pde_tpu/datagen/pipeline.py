@@ -71,15 +71,15 @@ class GenerationConfig:
 
 def resolve_method(method: str, resolution: int, mesh=None) -> str:
     """``"auto"`` → the fused Pallas kernel when it applies (TPU backend,
-    grid a multiple of 128, single-chip path), else the packed XLA-FFT
-    stepper. Multi-device meshes keep the jnp path: XLA SPMD partitions it
-    over the batch axis, whereas a `pallas_call` would need an explicit
-    `shard_map` wrapper."""
+    supported grid), else the packed XLA-FFT stepper. On a multi-device
+    mesh the kernel runs per-device under `shard_map`
+    (`build_sharded_traj`); `_generate_bucket` falls back to the jnp path
+    for bucket sizes not divisible by the data axis."""
     if method != "auto":
         return method
     from pregen_pde_tpu.solvers.spectral_ns_pallas import supported
 
-    if mesh is None and supported(resolution) and jax.default_backend() != "cpu":
+    if supported(resolution) and jax.default_backend() != "cpu":
         return "cn_ab2_pallas"
     return "cn_ab2_packed"
 
@@ -112,7 +112,8 @@ def _pack_contract(
 
 @partial(
     jax.jit,
-    static_argnames=("solver", "grf_alpha", "grf_tau", "grf_sigma", "method"),
+    static_argnames=("solver", "grf_alpha", "grf_tau", "grf_sigma", "method",
+                     "mesh"),
 )
 def _generate_bucket(
     keys: jax.Array,  # (B,) PRNG keys
@@ -124,13 +125,23 @@ def _generate_bucket(
     grf_tau: float = 7.0,
     grf_sigma: float | None = None,
     method: str = "cn_ab2_packed",
+    mesh=None,
 ) -> jax.Array:
     grid = solver.grid
     w0 = jax.vmap(
         lambda k: grf_2d(k, grid, alpha=grf_alpha, tau=grf_tau, sigma=grf_sigma)
     )(keys)
     if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
-        traj = solver.make_batched_trajectory_fn_nu(method)
+        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if n_data > 1 and keys.shape[0] % n_data == 0:
+            from pregen_pde_tpu.solvers.spectral_ns_pallas import build_sharded_traj
+
+            traj = build_sharded_traj(
+                solver, mesh,
+                precision="exact" if method.endswith("_exact") else "fast",
+            )
+        else:
+            traj = solver.make_batched_trajectory_fn_nu(method)
     else:
         traj = jax.vmap(
             solver.make_trajectory_fn_nu(method), in_axes=(0, 0, None)
@@ -185,7 +196,7 @@ def generate_ns_batch(
         out = _generate_bucket(
             keys, nu, re_norm, solver, inner,
             gen_cfg.grf_alpha, gen_cfg.grf_tau, gen_cfg.grf_sigma,
-            method=method,
+            method=method, mesh=mesh,
         )
         return np.asarray(jax.device_get(_to_storage(out, gen_cfg)))
 
@@ -231,7 +242,7 @@ def generate_ns_batch(
             gen_cfg.grf_alpha,
             gen_cfg.grf_tau,
             gen_cfg.grf_sigma,
-            method=method,
+            method=method, mesh=mesh,
         )
         out[idx_raw] = np.asarray(jax.device_get(_to_storage(res, gen_cfg)))[:n_real]
     return out

@@ -36,12 +36,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pregen_pde_tpu.ops import ct_fft
 
-__all__ = ["build_batched_traj", "supported"]
+__all__ = ["build_batched_traj", "build_sharded_traj", "supported"]
 
 
 def supported(n: int) -> bool:
-    """The kernel handles square grids with n a multiple of 128."""
-    return n % 128 == 0 and n >= 128
+    """Square grids, n a multiple of 128, up to 256: the whole working set
+    (state + AB2 history + spectral constants + transform temporaries) must
+    fit the ~16 MB VMEM. 512²+ fails Mosaic compile (measured) — it would
+    need a block-row tiled FFT with HBM spills; those sizes fall back to
+    the XLA-FFT path."""
+    return n % 128 == 0 and 128 <= n <= 256
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +289,9 @@ def build_batched_traj(solver, inner_steps: int | None = None,
     cfg = solver.cfg
     n = cfg.resolution
     if not supported(n):
-        raise ValueError(f"pallas stepper requires n % 128 == 0, got {n}")
+        raise ValueError(
+            f"pallas stepper requires n in {{128, 256}} (VMEM bound), got {n}"
+        )
     if precision not in ("fast", "exact"):
         raise ValueError(f"precision must be 'fast' or 'exact', got {precision!r}")
     m = n // 128
@@ -396,8 +402,22 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         vn = 1.0 - 0.5 * dt * nu_k2
         vd = 1.0 / (1.0 + 0.5 * dt * nu_k2)
         grid = (B, S)
+        # CPU (tests, virtual meshes): run through the Pallas interpreter —
+        # same semantics, no Mosaic. TPU-specific compiler params only apply
+        # to the compiled path.
+        interpret = jax.default_backend() == "cpu"
+        extra = (
+            {}
+            if interpret
+            else {
+                "compiler_params": pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary"),
+                )
+            }
+        )
         snaps = pl.pallas_call(
             kernel,
+            interpret=interpret,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1,), lambda b, s: (0,), memory_space=pltpu.SMEM),
@@ -410,9 +430,7 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             ),
             out_shape=jax.ShapeDtypeStruct((B, S, n, n), jnp.float32),
             scratch_shapes=[pltpu.VMEM((n, n), jnp.float32) for _ in range(4)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
-            ),
+            **extra,
         )(
             inner_v,
             w0r, w0i, vn, vd,
@@ -423,5 +441,44 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         if cfg.include_initial:
             snaps = jnp.concatenate([w0f[:, None], snaps], axis=1)
         return snaps
+
+    return traj
+
+
+def build_sharded_traj(solver, mesh, inner_steps: int | None = None,
+                       precision: str = "fast", axis: str = "data"):
+    """Pod-scale variant: the batch axis is sharded over ``mesh[axis]`` and
+    each device runs the fused kernel on its local shard (`shard_map`; no
+    collectives — trajectories are independent, the reference's
+    process-per-batch OpenFOAM scheme collapsed into one SPMD program).
+
+    ``traj(w0:(B,n,n), nu:(B,), inner_steps scalar) -> (B,T,n,n)`` with
+    B divisible by the axis size.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    local = build_batched_traj(solver, inner_steps, precision)
+
+    def _local(w0, nu, inner):
+        return local(w0, nu, inner[0])
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+
+    def traj(w0, nu=None, inner_steps_v=None):
+        B = w0.shape[0]
+        if nu is None:
+            nu = jnp.full((B,), solver.cfg.viscosity, jnp.float32)
+        if inner_steps_v is None:
+            total = int(round(solver.cfg.t_end / solver.cfg.dt))
+            inner_steps_v = max(total // solver.cfg.n_snapshots, 1)
+        inner = jnp.asarray(inner_steps_v, jnp.int32).reshape(1)
+        return sharded(w0, nu, inner)
 
     return traj

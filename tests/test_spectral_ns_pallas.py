@@ -1,13 +1,12 @@
-"""Fused Pallas CN+AB2 stepper vs the jnp packed path (interpret mode).
+"""Fused Pallas CN+AB2 stepper vs the jnp packed path.
 
-On CPU the kernel runs through the Pallas interpreter — slow, so horizons
-are short — and must reproduce `_build_traj_packed(scheme="ab2")` to f32
-roundoff (the two paths share scheme, constants, and snapshot cadence; the
-only difference is the CT-matmul FFT vs `jnp.fft`). On-chip agreement and
-throughput are covered by `bench.py` + PERF.md.
+On CPU the kernel automatically runs through the Pallas interpreter (slow,
+so horizons are short) and must reproduce
+`_build_traj_packed(scheme="ab2")` to f32 roundoff — the two paths share
+scheme, constants, and snapshot cadence; the only difference is the
+CT-matmul FFT vs `jnp.fft`. On-chip agreement, throughput, and the fast/
+exact precision split are covered by `bench.py` + PERF.md.
 """
-
-from unittest import mock
 
 import numpy as np
 import jax
@@ -17,16 +16,6 @@ import pytest
 from pregen_pde_tpu.core.config import NSVorticityConfig
 from pregen_pde_tpu.solvers.spectral_ns import NSVorticitySolver
 from pregen_pde_tpu.solvers import spectral_ns_pallas as snp
-
-
-def _interp_pallas():
-    orig = snp.pl.pallas_call
-
-    def interp(*a, **k):
-        k.pop("compiler_params", None)
-        return orig(*a, interpret=True, **k)
-
-    return mock.patch.object(snp.pl, "pallas_call", interp)
 
 
 @pytest.mark.parametrize(
@@ -43,8 +32,7 @@ def test_pallas_matches_jnp_packed_ab2(n, drag, forcing):
     w0 = jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32))
     nu = jnp.asarray([1e-3, 2e-3], jnp.float32)
     ref = np.asarray(jax.vmap(sol.make_trajectory_fn_nu("cn_ab2_packed"))(w0, nu))
-    with _interp_pallas():
-        got = np.asarray(snp.build_batched_traj(sol)(w0, nu))
+    got = np.asarray(snp.build_batched_traj(sol)(w0, nu))
     assert got.shape == ref.shape
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     assert err < 5e-6, err
@@ -63,18 +51,39 @@ def test_pallas_traced_inner_steps():
     rng = np.random.default_rng(4)
     w0 = jnp.asarray(rng.normal(size=(1, n, n)).astype(np.float32))
     ref_fn = jax.vmap(sol.make_trajectory_fn_nu("cn_ab2_packed"), in_axes=(0, None, None))
-    with _interp_pallas():
-        pal = snp.build_batched_traj(sol)
-        for inner in (1, 3):
-            ref = np.asarray(ref_fn(w0, 1e-3, jnp.asarray(inner, jnp.int32)))
-            got = np.asarray(pal(w0, None, jnp.asarray(inner, jnp.int32)))
-            err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
-            assert err < 5e-6, (inner, err)
+    pal = snp.build_batched_traj(sol)
+    for inner in (1, 3):
+        ref = np.asarray(ref_fn(w0, 1e-3, jnp.asarray(inner, jnp.int32)))
+        got = np.asarray(pal(w0, None, jnp.asarray(inner, jnp.int32)))
+        err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert err < 5e-6, (inner, err)
+
+
+def test_sharded_traj_on_virtual_mesh():
+    """`build_sharded_traj` shards the batch over the mesh `data` axis
+    (one kernel instance per device, no collectives) and matches the
+    unsharded result."""
+    from pregen_pde_tpu.parallel.meshes import make_mesh
+
+    mesh = make_mesh()
+    n = 128
+    cfg = NSVorticityConfig(
+        resolution=n, viscosity=1e-3, dt=1e-3, t_end=2e-3,
+        n_snapshots=1, include_initial=True, forcing="fno",
+    )
+    sol = NSVorticitySolver(cfg)
+    rng = np.random.default_rng(5)
+    B = len(jax.devices())
+    w0 = jnp.asarray(rng.normal(size=(B, n, n)).astype(np.float32))
+    nu = jnp.asarray(np.full(B, 1e-3, np.float32))
+    ref = np.asarray(snp.build_batched_traj(sol)(w0, nu))
+    got = np.asarray(jax.jit(snp.build_sharded_traj(sol, mesh))(w0, nu))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
 def test_supported_and_validation():
-    assert snp.supported(256) and snp.supported(128) and snp.supported(1024)
-    assert not snp.supported(192) and not snp.supported(64)
+    assert snp.supported(256) and snp.supported(128)
+    assert not snp.supported(192) and not snp.supported(64) and not snp.supported(512)
     sol = NSVorticitySolver(NSVorticityConfig(resolution=128))
     with pytest.raises(ValueError):
         snp.build_batched_traj(sol, precision="bogus")

@@ -19,6 +19,7 @@ one `vmap`-batched jitted program over (mask, u_max) pairs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +103,15 @@ def _solver_for(cfg: MaskedNSConfig, u_max: float, t_end: float) -> ProjectionSo
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _batched_traj_cached(solver: ProjectionSolver):
+    """One jitted batched trajectory fn per solver config — ProjectionSolver
+    is a frozen dataclass, so it keys the cache by value."""
+    return jax.jit(
+        jax.vmap(solver.make_trajectory_fn(), in_axes=(0, 0, None, None))
+    )
+
+
 def generate_masked_ns_batch(
     key: jax.Array, cfg: MaskedNSConfig, n_traj: int | None = None,
     storage_dtype: str = "float32",
@@ -127,11 +137,12 @@ def generate_masked_ns_batch(
 
     # bucket by quantized horizon; u_max is a traced vmap axis and the bucket
     # step count a traced scalar → ONE compile per batch shape (27 horizon
-    # buckets would otherwise each recompile a minutes-long XLA build)
-    solver = _solver_for(cfg, 1.0, float(end_t_np.max()))
-    traj = jax.jit(
-        jax.vmap(solver.make_trajectory_fn(), in_axes=(0, 0, None, None))
-    )
+    # buckets would otherwise each recompile a minutes-long XLA build).
+    # t_end is pinned (traj always gets explicit inner/dt) so repeated CALLS
+    # hit the cached jit below instead of re-tracing a fresh closure — a
+    # per-batch recompile through the tunnel costs minutes.
+    solver = _solver_for(cfg, 1.0, 1.0)
+    traj = _batched_traj_cached(solver)
     for horizon in np.unique(end_t_np):
         idx_raw = np.nonzero(end_t_np == horizon)[0]
         # pad the bucket to the next power of two: ≤log2(batch) executables

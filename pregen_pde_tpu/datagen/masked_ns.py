@@ -106,7 +106,14 @@ def _solver_for(cfg: MaskedNSConfig, u_max: float, t_end: float) -> ProjectionSo
 @functools.lru_cache(maxsize=16)
 def _batched_traj_cached(solver: ProjectionSolver):
     """One jitted batched trajectory fn per solver config — ProjectionSolver
-    is a frozen dataclass, so it keys the cache by value."""
+    is a frozen dataclass, so it keys the cache by value. On TPU the fused
+    Pallas projection stepper (`ns_projection_pallas`, ~2x and
+    batch-size-insensitive — PERF.md) takes over; the jnp path serves CPU
+    and unsupported configs."""
+    from pregen_pde_tpu.solvers import ns_projection_pallas as npp
+
+    if jax.default_backend() != "cpu" and npp.supported(solver):
+        return jax.jit(npp.build_batched_traj(solver))
     return jax.jit(
         jax.vmap(solver.make_trajectory_fn(), in_axes=(0, 0, None, None))
     )

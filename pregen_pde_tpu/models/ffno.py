@@ -54,6 +54,7 @@ class FactorizedSpectralLayer(nn.Module):
 
     channels: int
     modes: int
+    impl: str = "matmul"  # "matmul" = truncated-DFT fast path; "fft" = jnp.fft
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, H, W, C)
@@ -67,22 +68,50 @@ class FactorizedSpectralLayer(nn.Module):
             return jax.lax.complex(re.astype(jnp.float32),
                                    im.astype(jnp.float32))
 
+        mw, mh = min(m, w // 2 + 1), min(m, h // 2 + 1)
+        wx = cplx("w_x", (c, m, self.channels))[:, :mw]
+        wy = cplx("w_y", (c, m, self.channels))[:, :mh]
+
+        if self.impl == "matmul":
+            # truncated DFTs as skinny MXU matmuls (see fno.SpectralConv2d)
+            from pregen_pde_tpu.ops import truncated_dft as td
+
+            xf = x.astype(jnp.float32)
+            xr, xi = td.rdft(xf, 2, mw)
+            wxr, wxi = jnp.real(wx), jnp.imag(wx)
+            yr = jnp.einsum("bhmi,imo->bhmo", xr, wxr) - jnp.einsum(
+                "bhmi,imo->bhmo", xi, wxi
+            )
+            yi = jnp.einsum("bhmi,imo->bhmo", xr, wxi) + jnp.einsum(
+                "bhmi,imo->bhmo", xi, wxr
+            )
+            y_x = td.irdft(yr, yi, 2, w)
+
+            xr, xi = td.rdft(xf, 1, mh)
+            wyr, wyi = jnp.real(wy), jnp.imag(wy)
+            yr = jnp.einsum("bmwi,imo->bmwo", xr, wyr) - jnp.einsum(
+                "bmwi,imo->bmwo", xi, wyi
+            )
+            yi = jnp.einsum("bmwi,imo->bmwo", xr, wyi) + jnp.einsum(
+                "bmwi,imo->bmwo", xi, wyr
+            )
+            y_y = td.irdft(yr, yi, 1, h)
+            return (y_x + y_y).astype(x.dtype)
+
         # along W (x-direction): rfft over axis 2
-        wx = cplx("w_x", (c, m, self.channels))
         x_hx = jnp.fft.rfft(x.astype(jnp.float32), axis=2)  # (B, H, W//2+1, C)
-        out_x = jnp.einsum("bhmi,imo->bhmo", x_hx[:, :, :m, :], wx)
+        out_x = jnp.einsum("bhmi,imo->bhmo", x_hx[:, :, :mw, :], wx)
         zx = jnp.zeros((b, h, w // 2 + 1, self.channels), jnp.float32)
         full_x = jax.lax.complex(zx, zx)  # complex built on device (see fno.py)
-        full_x = full_x.at[:, :, :m, :].set(out_x)
+        full_x = full_x.at[:, :, :mw, :].set(out_x)
         y_x = jnp.fft.irfft(full_x, n=w, axis=2)
 
         # along H (y-direction): rfft over axis 1
-        wy = cplx("w_y", (c, m, self.channels))
         x_hy = jnp.fft.rfft(x.astype(jnp.float32), axis=1)  # (B, H//2+1, W, C)
-        out_y = jnp.einsum("bmwi,imo->bmwo", x_hy[:, :m, :, :], wy)
+        out_y = jnp.einsum("bmwi,imo->bmwo", x_hy[:, :mh, :, :], wy)
         zy = jnp.zeros((b, h // 2 + 1, w, self.channels), jnp.float32)
         full_y = jax.lax.complex(zy, zy)
-        full_y = full_y.at[:, :m, :, :].set(out_y)
+        full_y = full_y.at[:, :mh, :, :].set(out_y)
         y_y = jnp.fft.irfft(full_y, n=h, axis=1)
 
         return (y_x + y_y).astype(x.dtype)

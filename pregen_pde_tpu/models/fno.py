@@ -25,11 +25,18 @@ import numpy as np
 class SpectralConv2d(nn.Module):
     """Truncated-mode spectral convolution (reference `FNO.py:9-45`):
     rfft2 → complex channel-mixing einsum on the lowest modes1×modes2 modes
-    (two corner blocks: positive and negative y-frequencies) → irfft2."""
+    (two corner blocks: positive and negative y-frequencies) → irfft2.
+
+    ``impl="matmul"`` (default) evaluates the truncated transforms as skinny
+    DFT matmuls (`ops/truncated_dft.py`) instead of full FFT + slice — the
+    same math exactly, but MXU-shaped (XLA's FFT is the train-step
+    bottleneck, PERF.md); ``impl="fft"`` keeps the jnp.fft path (oracle for
+    the equivalence test)."""
 
     out_channels: int
     modes1: int  # retained modes along H (full-fft axis): ±modes1
     modes2: int  # retained modes along W (rfft axis)
+    impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, H, W, C)
@@ -63,6 +70,22 @@ class SpectralConv2d(nn.Module):
 
         w_pos = cplx_param("w_pos")  # modes [0, m1)
         w_neg = cplx_param("w_neg")  # modes [-m1, 0)
+
+        if self.impl == "matmul":
+            from pregen_pde_tpu.ops import truncated_dft as td
+
+            xr, xi = td.rdft(x.astype(jnp.float32), 2, m2)  # (B,H,m2,C)
+            xr, xi = td.cdft_pm(xr, xi, 1, m1)  # (B,2m1,m2,C), rows [+m1|-m1]
+            wts = jnp.concatenate([w_pos, w_neg], axis=1)  # (C,2m1,m2,O)
+            wr, wi = jnp.real(wts), jnp.imag(wts)
+            yr = jnp.einsum("bxyi,ixyo->bxyo", xr, wr) - jnp.einsum(
+                "bxyi,ixyo->bxyo", xi, wi
+            )
+            yi = jnp.einsum("bxyi,ixyo->bxyo", xr, wi) + jnp.einsum(
+                "bxyi,ixyo->bxyo", xi, wr
+            )
+            yr, yi = td.icdft_pm(yr, yi, 1, h)
+            return td.irdft(yr, yi, 2, w).astype(x.dtype)
 
         x_hat = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))  # complex64
         top = jnp.einsum("bxyi,ixyo->bxyo", x_hat[:, :m1, :m2, :], w_pos)

@@ -80,6 +80,7 @@ def _cmd_generate(args):
         gen = GenerationConfig(
             solver=NSVorticityConfig(
                 resolution=args.resolution, forcing=args.forcing,
+                viscosity=args.viscosity,
             ),
             batch_size=args.batch_size,
             vary_difficulty=not args.fixed_difficulty,
@@ -544,6 +545,9 @@ def main(argv=None):
     g.add_argument("--batch-size", type=int, default=128)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--fixed-difficulty", action="store_true")
+    g.add_argument("--viscosity", type=float, default=1e-4,
+                   help="ns_spectral viscosity with --fixed-difficulty "
+                        "(physics difficulty: lower nu = harder)")
     g.add_argument("--forcing", default="fno",
                    choices=["fno", "kolmogorov", "none"])
     g.add_argument("--time-scale", type=float, default=1.0,

@@ -122,3 +122,28 @@ def test_generate_resume(tmp_path, capsys):
     out_line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out_line["generated"] == 0 and out_line["already_done"] == 12
     assert load_shards(out).shape[0] == 12
+
+
+def test_generate_viscosity_and_time_scale_flags(tmp_path, capsys):
+    """--viscosity sets the fixed-difficulty physics (lower nu = rougher
+    fields); --time-scale shortens the ns_spectral difficulty horizons;
+    --method selects the stepper explicitly."""
+    cli.main(["generate", "--workload", "ns_spectral", "--n", "4", "--out",
+              str(tmp_path / "lo"), "--resolution", "16", "--batch-size", "4",
+              "--fixed-difficulty", "--viscosity", "1e-2",
+              "--method", "cn_ab2_packed"])
+    cli.main(["generate", "--workload", "ns_spectral", "--n", "4", "--out",
+              str(tmp_path / "hi"), "--resolution", "16", "--batch-size", "4",
+              "--fixed-difficulty", "--viscosity", "1e-4"])
+    lo = np.load(tmp_path / "lo" / "results_batch_0.npy")
+    hi = np.load(tmp_path / "hi" / "results_batch_0.npy")
+    # higher viscosity decays the velocity field harder by the last frame
+    assert np.abs(lo[:, -1, ..., :2]).mean() < np.abs(hi[:, -1, ..., :2]).mean()
+    # Re channel reflects 1/nu (normalized)
+    assert lo[0, 0, 0, 0, 3] < hi[0, 0, 0, 0, 3]
+    # varied difficulty with a tiny time scale runs quickly end-to-end
+    cli.main(["generate", "--workload", "ns_spectral", "--n", "4", "--out",
+              str(tmp_path / "ts"), "--resolution", "16", "--batch-size", "4",
+              "--time-scale", "2e-4"])
+    ts = np.load(tmp_path / "ts" / "results_batch_0.npy")
+    assert ts.shape == (4, 21, 16, 16, 6) and np.isfinite(ts).all()

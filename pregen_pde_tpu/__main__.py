@@ -28,7 +28,7 @@ def _cmd_generate(args):
         start_index, n_done = scan_existing_shards(args.out, args.prefix)
         if n_done >= args.n:
             print(json.dumps({"generated": 0, "already_done": n_done,
-                              "out": args.out}))
+                              "out": args.out}), flush=True)
             return
         # fold the resume point into the key: the continuation draws fresh
         # trajectories rather than replaying the crashed batch's stream
@@ -68,7 +68,7 @@ def _cmd_generate(args):
             writer.write_batch(arr)
             done += take
         writer.close()
-        print(json.dumps({"generated": args.n, "out": args.out}))
+        print(json.dumps({"generated": args.n, "out": args.out}), flush=True)
         return
     if args.workload == "ns_spectral":
         from pregen_pde_tpu.core.config import NSVorticityConfig
@@ -111,7 +111,7 @@ def _cmd_generate(args):
             writer.write_batch(arr)
             done += take
         writer.close()
-    print(json.dumps({"generated": args.n, "out": args.out}))
+    print(json.dumps({"generated": args.n, "out": args.out}), flush=True)
 
 
 def _make_model(name, in_size):
@@ -229,9 +229,9 @@ def _cmd_train(args):
 
         trainer = Trainer(model, _trainer_cfg(args), full_loss_fn=loss_fn)
         result = trainer.fit(ARLoader(),
-                             log_fn=lambda rec: print(json.dumps(rec)))
+                             log_fn=lambda rec: print(json.dumps(rec), flush=True), flush=True)
         print(json.dumps({"final_train_loss":
-                          result["history"][-1]["train_loss"]}))
+                          result["history"][-1]["train_loss"]}), flush=True)
         return
     # transition grammar ≡ `TrainCNO_time_L.py:151-163`
     allowed = {
@@ -252,9 +252,9 @@ def _cmd_train(args):
     result = trainer.fit(
         make_batch_loader(train, args.batch_size, seed=0),
         val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},
-        log_fn=lambda rec: print(json.dumps(rec)),
+        log_fn=lambda rec: print(json.dumps(rec), flush=True),
     )
-    print(json.dumps({"best_mean_val_rel_%": result["best_metric"]}))
+    print(json.dumps({"best_mean_val_rel_%": result["best_metric"]}), flush=True)
 
 
 def _cmd_mix_sweep(args):
@@ -295,8 +295,8 @@ def _cmd_mix_sweep(args):
             "test_hard": trainer.evaluate(BatchLoader(th, args.batch_size, shuffle=False)),
             "test_easy": trainer.evaluate(BatchLoader(te, args.batch_size, shuffle=False)),
         }
-        print(json.dumps({"alpha": alpha, **results[alpha]}))
-    print(json.dumps(results))
+        print(json.dumps({"alpha": alpha, **results[alpha]}), flush=True)
+    print(json.dumps(results), flush=True)
 
 
 def _evaluate_ckpt(ckpt_dir, model_name, data, patterns_str, batch_size):
@@ -354,7 +354,7 @@ def _cmd_evaluate(args):
                              args.batch_size)
     except FileNotFoundError as e:  # clean CLI error, no traceback
         raise SystemExit(str(e)) from None
-    print(json.dumps(res))
+    print(json.dumps(res), flush=True)
 
 
 def _cmd_sweep_eval(args):
@@ -371,7 +371,7 @@ def _cmd_sweep_eval(args):
                                        args.patterns, args.batch_size),
         out_path=args.out,
     )
-    print(json.dumps(results))
+    print(json.dumps(results), flush=True)
 
 
 def _cmd_finetune(args):
@@ -438,9 +438,9 @@ def _cmd_finetune(args):
     result = trainer.fit(
         make_batch_loader(train, args.batch_size, seed=0),
         val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},
-        log_fn=lambda rec: print(json.dumps(rec)),
+        log_fn=lambda rec: print(json.dumps(rec), flush=True),
     )
-    print(json.dumps({"best_mean_val_rel_%": result["best_metric"]}))
+    print(json.dumps({"best_mean_val_rel_%": result["best_metric"]}), flush=True)
 
 
 def args_seed(args):
@@ -482,7 +482,7 @@ def _cmd_save_samples(args):
         from pregen_pde_tpu.evalx.plots import plot_from_samples
 
         out["plot"] = plot_from_samples(path, args.plot)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 def _cmd_resolutions(args):
@@ -505,7 +505,7 @@ def _cmd_resolutions(args):
         resolutions=[int(r) for r in args.resolutions.split(",")],
         batch_size=args.batch_size,
     )
-    print(json.dumps(res))
+    print(json.dumps(res), flush=True)
 
 
 def _cmd_preflight(args):
@@ -513,7 +513,7 @@ def _cmd_preflight(args):
     from pregen_pde_tpu.utils.preflight import check_contract
 
     report = check_contract(np.asarray(_load_data(args.data)), args.data)
-    print(json.dumps(report))
+    print(json.dumps(report), flush=True)
 
 
 def _cmd_bench(args):

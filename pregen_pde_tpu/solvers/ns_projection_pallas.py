@@ -221,7 +221,7 @@ def build_batched_traj(solver: ProjectionSolver):
         out_ref[0, 0, 1] = v_sc[:]
         out_ref[0, 0, 2] = p_sc[:]
 
-    smem = lambda dtype: pl.BlockSpec(
+    smem = lambda: pl.BlockSpec(
         (1, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM
     )
     c2d = lambda: pl.BlockSpec((n, n), lambda b, s: (0, 0), memory_space=pltpu.VMEM)
@@ -256,7 +256,7 @@ def build_batched_traj(solver: ProjectionSolver):
             interpret=interpret,
             grid=(B, S),
             in_specs=[
-                smem(jnp.int32), smem(jnp.float32),
+                smem(), smem(),
                 pl.BlockSpec((B, 1), lambda b, s: (0, 0),
                              memory_space=pltpu.SMEM),
                 cb, c2d(), c2d(), c2d(), c2d(), c2d(), c2d(),

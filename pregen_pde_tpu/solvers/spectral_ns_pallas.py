@@ -410,9 +410,11 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         B = w0.shape[0]
         # group g images per kernel instance: the lane-axis FFT matmuls get
         # g-x wider M (better MXU utilization); sub-axis passes stay
-        # per-image. g=2 measured best at 256² (VMEM-bound above).
+        # per-image. VMEM bounds g·n² ≤ 2·256² (measured: g=2 best at 256²
+        # [+8%], g=8 at 128² [+77%, 595 traj/s]; one step beyond each OOMs).
         if group == "auto":
-            g = 2 if (B % 2 == 0 and n <= 256) else 1
+            g_max = max(1, (2 * 256 * 256) // (n * n))
+            g = next((g for g in (8, 4, 2, 1) if g <= g_max and B % g == 0), 1)
         else:
             g = int(group)
             if B % g:

@@ -301,12 +301,16 @@ def build_batched_traj(solver, inner_steps: int | None = None,
 
     ``precision``:
       - "fast" — hot-loop FFT matmuls at the Mosaic default (one bf16 MXU
-        pass). Measured ~6x over the XLA-FFT path; trajectory-vs-jnp-path
-        deviation is a CONSTANT ~1e-3 unbiased noise floor (energy spectrum
-        agrees to ~0.1% in every band — below float16 storage quantization;
-        PERF.md). The per-snapshot output transform still runs HIGHEST.
+        pass). Measured 10.7x over the XLA-FFT path at 256² (g=2);
+        trajectory-vs-jnp-path deviation is ~1e-4 unbiased noise (energy
+        spectrum agrees to ~0.1% in every band — below float16 storage
+        quantization; PERF.md). The initial transform and the per-snapshot
+        output transform always run HIGHEST.
       - "exact" — every matmul at HIGHEST (f32-exact, 6-pass): trajectory
-        matches the jnp path to f32 roundoff (~3e-7), ~2.4x over XLA-FFT.
+        matches the jnp path to f32 roundoff (~3e-7), ~2.6x over XLA-FFT.
+
+    ``group``: images per kernel instance ("auto" picks the largest VMEM-fit
+    divisor of B — see the rule in `traj`).
     """
     cfg = solver.cfg
     n = cfg.resolution

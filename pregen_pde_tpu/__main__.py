@@ -228,8 +228,10 @@ def _cmd_train(args):
                         np.arange(s * bs, min((s + 1) * bs, n)))
 
         trainer = Trainer(model, _trainer_cfg(args), full_loss_fn=loss_fn)
-        result = trainer.fit(ARLoader(),
-                             log_fn=lambda rec: print(json.dumps(rec), flush=True), flush=True)
+        result = trainer.fit(
+            ARLoader(),
+            log_fn=lambda rec: print(json.dumps(rec), flush=True),
+        )
         print(json.dumps({"final_train_loss":
                           result["history"][-1]["train_loss"]}), flush=True)
         return

@@ -15,6 +15,18 @@ mixing dataloaders), on this framework:
    27× longer, so low-α mixes are proportionally cheaper to generate.
 
 Run `--fast` for a minutes-scale smoke configuration.
+
+Measured on one v5e chip (physics-difficulty variant via the CLI: easy
+ν=1e-3 / hard ν=2e-5 spectral datasets + `mix-sweep`, FNO, 64 train
+trajectories — full numbers in PERF.md):
+
+    alpha 0.0 (all easy):  test-hard 16.5 %   test-easy  6.4 %  (median rel)
+    alpha 0.5 (mixed):     test-hard  9.9 %   test-easy  6.2 %
+    alpha 1.0 (all hard):  test-hard  8.5 %   test-easy 25.7 %
+
+i.e. the 50/50 mix recovers most of the all-hard accuracy on hard data at
+half the hard-trajectory generation cost while keeping the easy-domain
+accuracy that all-hard training loses — the reference's headline mechanism.
 """
 
 from __future__ import annotations

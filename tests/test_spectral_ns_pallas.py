@@ -29,8 +29,10 @@ def test_pallas_matches_jnp_packed_ab2(n, drag, forcing):
     )
     sol = NSVorticitySolver(cfg)
     rng = np.random.default_rng(3)
-    w0 = jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32))
-    nu = jnp.asarray([1e-3, 2e-3], jnp.float32)
+    # B=4 exercises the image-grouping path (auto g=4 at 128², g=2 at 256²)
+    B = 4 if n == 128 else 2
+    w0 = jnp.asarray(rng.normal(size=(B, n, n)).astype(np.float32))
+    nu = jnp.asarray([1e-3, 2e-3, 3e-3, 4e-3][:B], jnp.float32)
     ref = np.asarray(jax.vmap(sol.make_trajectory_fn_nu("cn_ab2_packed"))(w0, nu))
     got = np.asarray(snp.build_batched_traj(sol)(w0, nu))
     assert got.shape == ref.shape

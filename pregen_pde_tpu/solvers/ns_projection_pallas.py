@@ -78,31 +78,40 @@ def build_batched_traj(solver: ProjectionSolver):
     denom = f32(denom)
     inlet2d = f32(np.broadcast_to(parabolic_inlet(n, 1.0)[:, None], (n, n)))
 
-    def kernel(
+    def make_kernel(g):
+      def kernel(
         inner_ref, dt_ref, umax_ref,
         pen_ref, inlet_ref, cy_ref, cyT_ref, cx_ref, cxT_ref, den_ref,
         out_ref,
         u_sc, v_sc, p_sc,
-    ):
+      ):
         s = pl.program_id(1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        # g images stacked along the sublane axis; `row` is the row WITHIN
+        # the image, so every boundary mask and per-image fix generalizes
+        row = jax.lax.broadcasted_iota(jnp.int32, (g * n, n), 0) % n
+        col = jax.lax.broadcasted_iota(jnp.int32, (g * n, n), 1)
         dt = dt_ref[0, 0]
-        umax = umax_ref[pl.program_id(0), 0]  # full (B,1) array in SMEM
-        pen = pen_ref[0]
-        inlet = inlet_ref[:] * umax
+        # per-image inlet/lid speed as a (g*n, 1) column (full (B,1) in SMEM)
+        b0 = pl.program_id(0) * g
+        uscale = jnp.concatenate(
+            [jnp.full((n, 1), umax_ref[b0 + im, 0]) for im in range(g)]
+        )
+        pen = pen_ref[:].reshape(g * n, n)
+        inlet = inlet_ref[:] * uscale
         CY, CYT, CX, CXT, DEN = (
             cy_ref[:], cyT_ref[:], cx_ref[:], cxT_ref[:], den_ref[:],
         )
 
         def shift(q, axis, direction):
-            """Edge-replicated neighbor (≡ ProjectionSolver._shift)."""
-            nn = n
+            """Edge-replicated neighbor (≡ ProjectionSolver._shift); rolls
+            along axis 0 wrap across stacked images, but those rows are
+            exactly the per-image boundary rows the mask overwrites."""
+            size = g * n if axis == 0 else n
             idx = row if axis == 0 else col
             if direction > 0:
-                r = pltpu.roll(q, nn - 1, axis)  # r[i] = q[i+1 mod n]
-                return jnp.where(idx == nn - 1, q, r)
-            r = pltpu.roll(q, 1, axis)  # r[i] = q[i-1 mod n]
+                r = pltpu.roll(q, size - 1, axis)  # r[i] = q[i+1 mod size]
+                return jnp.where(idx == n - 1, q, r)
+            r = pltpu.roll(q, 1, axis)  # r[i] = q[i-1 mod size]
             return jnp.where(idx == 0, q, r)
 
         def shift_zero(q, axis):
@@ -139,7 +148,7 @@ def build_batched_traj(solver: ProjectionSolver):
                 v = jnp.where(col == 0, 0.0, v)
                 u = jnp.where(col == n - 1, 0.0, u)
                 v = jnp.where(col == n - 1, 0.0, v)
-                u = jnp.where(row == n - 1, umax, u)
+                u = jnp.where(row == n - 1, uscale, u)
                 v = jnp.where(row == n - 1, 0.0, v)
             return u, v
 
@@ -164,12 +173,25 @@ def build_batched_traj(solver: ProjectionSolver):
             # accuracy comes from iterative refinement below instead.
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+        def mm_l(mat, x):
+            """Left-multiply per stacked image (the right-multiplies act
+            row-wise and stay stacked — 2x wider MXU matmuls)."""
+            if g == 1:
+                return mm(mat, x)
+            return jnp.concatenate(
+                [mm(mat, x[im * n : (im + 1) * n]) for im in range(g)]
+            )
+
+        def mean_per_image(x):
+            m3 = jnp.mean(x.reshape(g, n, n), axis=(1, 2), keepdims=True)
+            return jnp.broadcast_to(m3, (g, n, n)).reshape(g * n, n)
+
         def solve_once(rhs):
-            rhs_hat = mm(CY, mm(rhs, CXT))
+            rhs_hat = mm_l(CY, mm(rhs, CXT))
             p_hat = rhs_hat / DEN
             if not channel:
                 p_hat = jnp.where((row == 0) & (col == 0), 0.0, p_hat)
-            return mm(CYT, mm(p_hat, CX))
+            return mm_l(CYT, mm(p_hat, CX))
 
         def poisson_A(p):
             # exact f32 5-point operator −D∘G (pure VPU stencils)
@@ -182,11 +204,11 @@ def build_batched_traj(solver: ProjectionSolver):
             f32-grade pressure at one extra cheap solve, without HIGHEST's
             compile-time blowup."""
             if not channel:
-                rhs = rhs - jnp.mean(rhs)
+                rhs = rhs - mean_per_image(rhs)
             p = solve_once(rhs)
             r = rhs - poisson_A(p)
             if not channel:
-                r = r - jnp.mean(r)
+                r = r - mean_per_image(r)
             return p + solve_once(r)
 
         def step(u, v):
@@ -207,7 +229,7 @@ def build_batched_traj(solver: ProjectionSolver):
 
         @pl.when(s == 0)
         def _init():
-            z = jnp.zeros((n, n), jnp.float32)
+            z = jnp.zeros((g * n, n), jnp.float32)
             u0, v0 = bc(z, z)
             u_sc[:], v_sc[:], p_sc[:] = u0, v0, z
 
@@ -217,18 +239,32 @@ def build_batched_traj(solver: ProjectionSolver):
             return carry
 
         jax.lax.fori_loop(0, inner_ref[0, 0], body, 0, unroll=False)
-        out_ref[0, 0, 0] = u_sc[:]
-        out_ref[0, 0, 1] = v_sc[:]
-        out_ref[0, 0, 2] = p_sc[:]
+        out_ref[:, 0, 0] = u_sc[:].reshape(g, n, n)
+        out_ref[:, 0, 1] = v_sc[:].reshape(g, n, n)
+        out_ref[:, 0, 2] = p_sc[:].reshape(g, n, n)
+
+      return kernel
 
     smem = lambda: pl.BlockSpec(
         (1, 1), lambda b, s: (0, 0), memory_space=pltpu.SMEM
     )
-    c2d = lambda: pl.BlockSpec((n, n), lambda b, s: (0, 0), memory_space=pltpu.VMEM)
-    cb = pl.BlockSpec((1, n, n), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM)
 
     def traj(masks: jax.Array, u_max=None, inner_steps=None, dt=None):
         B = masks.shape[0]
+        # image grouping (same rule as the spectral kernel: VMEM bounds
+        # g·n² ≤ 2·256²) — widens the stacked right-side DCT matmuls
+        g_max = max(1, (2 * 256 * 256) // (n * n))
+        g = next((gg for gg in (8, 4, 2, 1) if gg <= g_max and B % gg == 0), 1)
+        c2d = lambda: pl.BlockSpec(
+            (g * n, n), lambda b, s: (0, 0), memory_space=pltpu.VMEM
+        )
+        cb = pl.BlockSpec(
+            (g, n, n), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        tile = lambda a: jnp.tile(jnp.asarray(a), (g, 1))
+        cmat = lambda: pl.BlockSpec(
+            (n, n), lambda b, s: (0, 0), memory_space=pltpu.VMEM
+        )
         if u_max is None:
             u_max = jnp.full((B,), cfg.u_max, jnp.float32)
         u_max = jnp.asarray(u_max, jnp.float32).reshape(B, 1)
@@ -252,26 +288,28 @@ def build_batched_traj(solver: ProjectionSolver):
             }
         )
         frames = pl.pallas_call(
-            kernel,
+            make_kernel(g),
             interpret=interpret,
-            grid=(B, S),
+            grid=(B // g, S),
             in_specs=[
                 smem(), smem(),
                 pl.BlockSpec((B, 1), lambda b, s: (0, 0),
                              memory_space=pltpu.SMEM),
-                cb, c2d(), c2d(), c2d(), c2d(), c2d(), c2d(),
+                cb, c2d(), cmat(), cmat(), cmat(), cmat(), c2d(),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, 3, n, n), lambda b, s: (b, s, 0, 0, 0),
+                (g, 1, 3, n, n), lambda b, s: (b, s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((B, S, 3, n, n), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((n, n), jnp.float32) for _ in range(3)],
+            scratch_shapes=[
+                pltpu.VMEM((g * n, n), jnp.float32) for _ in range(3)
+            ],
             **extra,
         )(
             inner_v, dt_v, u_max,
-            pen, jnp.asarray(inlet2d), jnp.asarray(cy), jnp.asarray(cyT),
-            jnp.asarray(cx), jnp.asarray(cxT), jnp.asarray(denom),
+            pen, tile(inlet2d), jnp.asarray(cy), jnp.asarray(cyT),
+            jnp.asarray(cx), jnp.asarray(cxT), tile(denom),
         )
         frames = jnp.moveaxis(frames, 2, -1)  # (B, S, n, n, 3)
         # initial frame: rest + BCs (≡ make_trajectory_fn's init_frame)

@@ -227,7 +227,8 @@ def _cmd_train(args):
                     yield batcher.make_batch(
                         np.arange(s * bs, min((s + 1) * bs, n)))
 
-        trainer = Trainer(model, _trainer_cfg(args), full_loss_fn=loss_fn)
+        trainer = Trainer(model, _trainer_cfg(args, ckpt=args.ckpt),
+                          full_loss_fn=loss_fn)
         result = trainer.fit(
             ARLoader(),
             log_fn=lambda rec: print(json.dumps(rec), flush=True),
@@ -555,14 +556,16 @@ def main(argv=None):
     g.add_argument("--time-scale", type=float, default=1.0,
                    help="multiplies the Re->horizon difficulty schedule; for "
                         "ns_spectral, 5e-4 reproduces the reference's "
-                        "500-13,500-step workload (1.0 = horizons in solver "
+                        "5,500-13,500-step workload (1.0 = horizons in solver "
                         "time units, 1M-27M steps)")
     g.add_argument("--method", default="auto",
-                   choices=["auto", "cn_ab2_pallas", "cn_ab2_pallas_exact",
-                            "cn_ab2_packed", "cn_heun_packed"],
+                   choices=["auto", "cn_ab2_pallas", "cn_ab2_pallas_high",
+                            "cn_ab2_pallas_exact", "cn_ab2_packed",
+                            "cn_heun_packed"],
                    help="ns_spectral stepper: auto = fused Pallas CN+AB2 "
-                        "kernel on TPU (~10x; 'exact' variant = f32-exact "
-                        "matmuls), XLA-FFT packed steppers otherwise")
+                        "kernel on TPU (~10x; 'high' = rtol-1e-6-grade "
+                        "3-pass matmuls, 'exact' = f32-exact), XLA-FFT "
+                        "packed steppers otherwise")
     g.set_defaults(fn=_cmd_generate)
 
     t = sub.add_parser("train")

@@ -29,6 +29,7 @@ from pregen_pde_tpu.fields.geometry import (
     disk_mask,
     no_hole_mask,
     sample_multi_holes,
+    sample_multi_holes_overlap,
     sample_single_hole,
     sdf_from_mask,
 )
@@ -60,6 +61,11 @@ class MaskedNSConfig:
     penalization_eta: float = 1e-3
     cg_iters: int = 150
     batch_size: int = 128
+    # fpo_multi_hole only: force ALL holes to share a central sub-box of side
+    # overlap_fraction·hole (reference `randomize_holes(allow_overlap=True)`,
+    # `Multiple_Hole/main.py:1080-1139`); False = non-overlapping rejection
+    hole_overlap: bool = False
+    overlap_fraction: float = 0.3
 
 
 def sample_masks(key: jax.Array, cfg: MaskedNSConfig, n: int) -> jax.Array:
@@ -77,6 +83,13 @@ def sample_masks(key: jax.Array, cfg: MaskedNSConfig, n: int) -> jax.Array:
         # reference holes are 16 cells at 128² (= res/8); scale for other grids
         hole_cells = max(res // 8, 4)
         keys = jax.random.split(key, n)
+        if cfg.hole_overlap:
+            return jax.vmap(
+                lambda k: sample_multi_holes_overlap(
+                    k, res, hole_cells=hole_cells,
+                    overlap_fraction=cfg.overlap_fraction,
+                )[0]
+            )(keys)
         return jax.vmap(
             lambda k: sample_multi_holes(k, res, hole_cells=hole_cells)[0]
         )(keys)
@@ -104,19 +117,25 @@ def _solver_for(cfg: MaskedNSConfig, u_max: float, t_end: float) -> ProjectionSo
 
 
 @functools.lru_cache(maxsize=16)
-def _batched_traj_cached(solver: ProjectionSolver):
-    """One jitted batched trajectory fn per solver config — ProjectionSolver
-    is a frozen dataclass, so it keys the cache by value. On TPU the fused
-    Pallas projection stepper (`ns_projection_pallas`, ~2x and
-    batch-size-insensitive — PERF.md) takes over; the jnp path serves CPU
-    and unsupported configs."""
+def _batched_traj_for_backend(solver: ProjectionSolver, backend: str):
+    """One jitted batched trajectory fn per (solver config, backend) —
+    ProjectionSolver is a frozen dataclass, so it keys the cache by value;
+    the backend is an explicit key so flipping `jax_platforms` mid-process
+    (the CPU-switch workflow in CLAUDE.md) re-routes instead of reusing a
+    stale path. On TPU the fused Pallas projection stepper
+    (`ns_projection_pallas`, ~2x and batch-size-insensitive — PERF.md) takes
+    over; the jnp path serves CPU and unsupported configs."""
     from pregen_pde_tpu.solvers import ns_projection_pallas as npp
 
-    if jax.default_backend() != "cpu" and npp.supported(solver):
+    if backend != "cpu" and npp.supported(solver):
         return jax.jit(npp.build_batched_traj(solver))
     return jax.jit(
         jax.vmap(solver.make_trajectory_fn(), in_axes=(0, 0, None, None))
     )
+
+
+def _batched_traj_cached(solver: ProjectionSolver):
+    return _batched_traj_for_backend(solver, jax.default_backend())
 
 
 def generate_masked_ns_batch(

@@ -53,7 +53,7 @@ class GenerationConfig:
     # `Regular/main.py:969-998`) before mapping onto solver steps via dt.
     # 1.0 integrates horizons in solver time units (1M-27M steps at
     # dt=1e-4 — far beyond the reference workload); 5e-4 reproduces the
-    # reference's own step counts (dt 0.2 → 500-13,500 steps, BASELINE.md).
+    # reference's own step counts (dt 0.2 → 5,500-13,500 steps; horizons 1100-2700 s).
     time_scale: float = 1.0
     # dataset storage dtype: "float16" halves device→host transfer and shard
     # size (solve stays f32; cast happens on device just before the fetch).
@@ -98,6 +98,15 @@ def _pack_contract(
         return jnp.stack([f["u"], f["v"], f["p"]], axis=-1)
 
     uvp = jax.vmap(jax.vmap(per_frame))(w_snaps).astype(jnp.float32)
+    return _pack_contract_uvp(uvp, re_norm, mask, sdf)
+
+
+def _pack_contract_uvp(
+    uvp: jax.Array,  # (B, T, n, n, 3) — e.g. the Pallas kernel's fused output
+    re_norm: jax.Array,
+    mask: jax.Array,
+    sdf: jax.Array,
+) -> jax.Array:
     b, t, n, _, _ = uvp.shape
     re_ch = jnp.broadcast_to(
         re_norm.astype(jnp.float32)[:, None, None, None, None], (b, t, n, n, 1)
@@ -127,29 +136,36 @@ def _generate_bucket(
     method: str = "cn_ab2_packed",
     mesh=None,
 ) -> jax.Array:
-    grid = solver.grid
-    w0 = jax.vmap(
-        lambda k: grf_2d(k, grid, alpha=grf_alpha, tau=grf_tau, sigma=grf_sigma)
-    )(keys)
-    if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
-        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-        if n_data > 1 and keys.shape[0] % n_data == 0:
-            from pregen_pde_tpu.solvers.spectral_ns_pallas import build_sharded_traj
+    from pregen_pde_tpu.solvers.spectral_ns import PALLAS_METHODS
 
-            traj = build_sharded_traj(
-                solver, mesh,
-                precision="exact" if method.endswith("_exact") else "fast",
-            )
-        else:
-            traj = solver.make_batched_trajectory_fn_nu(method)
-    else:
-        traj = jax.vmap(
-            solver.make_trajectory_fn_nu(method), in_axes=(0, 0, None)
-        )
-    snaps = traj(w0, nu, jnp.asarray(inner_steps, jnp.int32))
+    grid = solver.grid
     n = grid.n
     mask = no_hole_mask(n)
     sdf = sdf_from_mask(mask)
+    w0 = jax.vmap(
+        lambda k: grf_2d(k, grid, alpha=grf_alpha, tau=grf_tau, sigma=grf_sigma)
+    )(keys)
+    if method in PALLAS_METHODS:
+        # fused path: the kernel emits (u, v, p) per snapshot directly
+        # (output="fields") — no separate XLA-FFT contract-packing pass
+        from pregen_pde_tpu.solvers.spectral_ns_pallas import (
+            build_batched_traj,
+            build_sharded_traj,
+        )
+
+        prec = PALLAS_METHODS[method]
+        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if n_data > 1 and keys.shape[0] % n_data == 0:
+            traj = build_sharded_traj(solver, mesh, precision=prec,
+                                      output="fields")
+        else:
+            traj = build_batched_traj(solver, precision=prec, output="fields")
+        uvp = traj(w0, nu, jnp.asarray(inner_steps, jnp.int32))
+        return _pack_contract_uvp(uvp.astype(jnp.float32), re_norm, mask, sdf)
+    traj = jax.vmap(
+        solver.make_trajectory_fn_nu(method), in_axes=(0, 0, None)
+    )
+    snaps = traj(w0, nu, jnp.asarray(inner_steps, jnp.int32))
     return _pack_contract(snaps, solver, re_norm, mask, sdf)
 
 

@@ -32,22 +32,36 @@ def rollout_pattern(
     time_channel: bool = True,
     out_channels: int = 3,
     time_step_size: int = 1,
+    pixel_mask: jax.Array | None = None,
+    forced_labels: Sequence[jax.Array] | None = None,
 ) -> list[jax.Array]:
     """Run the AR pattern, returning the prediction after each jump.
 
     The prediction overwrites input channels [0, out_channels); the lead-time
     channel (last) is rewritten each step to jump·time_step_size/19 — matching
     the training-time convention where (t1, t2) are already time_step_size
-    multiples (reference `TestCNO_ALL.py:124-188`)."""
+    multiples (reference `TestCNO_ALL.py:124-188`).
+
+    ``pixel_mask`` + ``forced_labels`` replicate the reference's
+    prediction-level forcing (`scOT/model.py:1372-1374`): after each step,
+    prediction pixels where the mask is set are overwritten with that step's
+    forced label frame, and the FORCED prediction is fed back — so forced
+    channels propagate through the AR feedback exactly as in the reference
+    (scOT applies this inside forward; here it covers every model family)."""
     preds = []
     x = inp
-    for jump in pattern:
+    for s_idx, jump in enumerate(pattern):
         lead = jump * time_step_size / TIME_NORMALIZER
         t = jnp.full((x.shape[0],), lead, x.dtype)
         if time_channel:
             tch = jnp.full((*x.shape[:3], 1), lead, x.dtype)
             x = jnp.concatenate([x[..., :-1], tch], axis=-1)
         pred = apply_fn({"params": params}, x, t)
+        if pixel_mask is not None:
+            if forced_labels is None:
+                raise ValueError("pixel_mask forcing requires forced_labels")
+            pred = jnp.where(pixel_mask, forced_labels[s_idx].astype(pred.dtype),
+                             pred)
         preds.append(pred)
         x = x.at[..., :out_channels].set(pred)
     return preds

@@ -141,6 +141,62 @@ def sample_multi_holes(
     return mask, placed
 
 
+def sample_multi_holes_overlap(
+    key: jax.Array,
+    n: int = 128,
+    min_holes: int = 2,
+    max_holes: int = 10,
+    hole_cells: int = 16,
+    overlap_fraction: float = 0.3,
+) -> tuple[jax.Array, jax.Array]:
+    """Forced-overlap mode of the reference's `randomize_holes`
+    (`Multiple_Hole/main.py:1080-1139`, `allow_overlap=True`): every hole
+    must contain a common sub-box of side ``overlap_fraction·hole`` centred
+    at the domain centre, so ALL holes mutually overlap. Lower-left corners
+    are drawn uniformly from the lattice positions whose hole covers the
+    common box (clamped to the in-domain margin) — no rejection needed.
+
+    Returns (mask, num_placed); num_placed == the sampled hole count.
+    """
+    if overlap_fraction <= 0:
+        raise ValueError("overlap_fraction must be > 0 (reference :1085-1088)")
+    import math
+
+    box = overlap_fraction * hole_cells
+    c = n / 2.0
+    margin = 1
+    # hole_x ∈ [c + box/2 − hole, c − box/2] ∩ [margin, n − hole − margin]
+    lo = max(margin, math.ceil(c + box / 2.0 - hole_cells))
+    hi = min(n - hole_cells - margin, math.floor(c - box / 2.0))
+    if lo > hi:
+        raise ValueError(
+            "cannot place holes sharing a sub-region; reduce overlap_fraction "
+            "(reference :1113-1117)"
+        )
+    k_count, k_pos = jax.random.split(key)
+    target = jax.random.randint(k_count, (), min_holes, max_holes + 1)
+    pos_keys = jax.random.split(k_pos, max_holes)
+
+    def place(carry, args):
+        mask, placed = carry
+        i, k = args
+        kr, kc = jax.random.split(k)
+        r0 = jax.random.randint(kr, (), lo, hi + 1)
+        c0 = jax.random.randint(kc, (), lo, hi + 1)
+        cand = box_mask(n, r0, c0, hole_cells, hole_cells)
+        accept = i < target
+        mask = jnp.where(accept, jnp.maximum(mask, cand), mask)
+        placed = placed + accept.astype(jnp.int32)
+        return (mask, placed), None
+
+    (mask, placed), _ = jax.lax.scan(
+        place,
+        (jnp.zeros((n, n), jnp.float32), jnp.int32(0)),
+        (jnp.arange(max_holes), pos_keys),
+    )
+    return mask, placed
+
+
 def no_hole_mask(n: int = 128) -> jax.Array:
     """The 'easy' geometry: all fluid (LDC / no-hole datasets)."""
     return jnp.zeros((n, n), jnp.float32)

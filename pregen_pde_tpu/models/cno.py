@@ -16,11 +16,19 @@ here it is `pregen_pde_tpu.ops.filtered_lrelu` — two depthwise dilated convs
 XLA fuses onto the TPU conv units, with Kaiser filters designed host-side at
 module-construction time.
 
-Norm note: the reference's FILM supports BatchNorm/InstanceNorm/LayerNorm
-selected by `nl_dim` (`:51-58`); default CNO_time config (`nl_dim=[1]`) is
-Identity. We implement the stateless options (none/instance/layer) —
-cross-replica BatchNorm is deliberately omitted (sync-free > parity for a
-TPU-sharded trainer; the reference's own default path doesn't use it either).
+Norm note: the reference's FILM selects BatchNorm/InstanceNorm/LayerNorm/
+Identity by `nl_dim` (`CNO_timeModule_CIN.py:51-58`), and the reference
+training default is `nl_dim="23"` → InstanceNorm(affine=True)
+(`TrainCNO_time_L.py:57-59`) — so `norm="instance"` is the default here too.
+`norm="batch"` (≡ nl_dim=[0,2,3]) is a *stateless* batch-stat norm: it
+normalizes by the statistics of the current batch in train AND eval instead
+of keeping running averages — running averages are mutable state that would
+thread a `batch_stats` collection through the whole SPMD trainer for an
+option the reference never trains with (when `is_time=1` the plain
+`batch_norm` is replaced by Identity and the norm lives inside FILM,
+`CNO_timeModule_CIN.py:321-326,482-491`). Under data parallelism the
+stats are per-replica (no cross-replica sync), like torch BatchNorm under
+DDP without SyncBN.
 """
 
 from __future__ import annotations
@@ -121,10 +129,14 @@ class StandardLReLu(nn.Module):
 class FILM(nn.Module):
     """Per-channel scale/bias MLPs on the scalar lead time after a norm
     (reference `CNO_timeModule_CIN.py:27-70`); zero-initialized so the layer
-    starts as identity (`:43-49`). norm ∈ {"none", "instance", "layer"}."""
+    starts as identity (`:43-49`). norm ∈ {"none", "instance", "layer",
+    "batch"} ≡ the reference's nl_dim ∈ {other, [2,3], [1,2,3], [0,2,3]}
+    (`:51-58`); default "instance" = the reference training default
+    nl_dim="23" (`TrainCNO_time_L.py:57-59`). "batch" is stateless
+    batch-stat normalization (see the module docstring's norm note)."""
 
     channels: int
-    norm: str = "none"
+    norm: str = "instance"
     intermediate: int = 128
 
     @nn.compact
@@ -134,6 +146,17 @@ class FILM(nn.Module):
                              use_scale=True)(x)
         elif self.norm == "layer":
             x = nn.LayerNorm(reduction_axes=(-3, -2, -1))(x)
+        elif self.norm == "batch":
+            # per-channel stats over (batch, H, W); affine learnable like
+            # torch BatchNorm2d, but no running averages (stateless)
+            mu = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+            x = (x - mu) * jax.lax.rsqrt(var + 1e-5)
+            gamma = self.param("bn_scale", nn.initializers.ones,
+                               (self.channels,), x.dtype)
+            beta = self.param("bn_bias", nn.initializers.zeros,
+                              (self.channels,), x.dtype)
+            x = x * gamma + beta
         elif self.norm != "none":
             raise ValueError(self.norm)
 
@@ -169,7 +192,7 @@ class CNOBlock(nn.Module):
     lrelu_upsampling: int = 2
     half_width_mult: float = 0.8
     use_time: bool = True
-    norm: str = "none"
+    norm: str = "instance"
     activation: str = "cno_lrelu"  # "cno_lrelu" (anti-aliased) | "lrelu" (plain)
 
     @nn.compact
@@ -223,7 +246,7 @@ class ResidualBlock(nn.Module):
     lrelu_upsampling: int = 2
     half_width_mult: float = 0.8
     use_time: bool = True
-    norm: str = "none"
+    norm: str = "instance"
     activation: str = "cno_lrelu"
 
     @nn.compact
@@ -297,7 +320,7 @@ class CNO(nn.Module):
     latent_lift_proj_dim: int = 64
     add_inv: bool = True
     use_time: bool = True
-    norm: str = "none"
+    norm: str = "instance"
     activation: str = "cno_lrelu"  # "cno_lrelu" | "lrelu" (reference variants)
     use_attention: bool = False
     out_size: int | None = None  # None → in_size

@@ -65,11 +65,16 @@ class SpectralConv2d(nn.Module):
             )
             # spectral weights always act in f32 (TPU FFT is f32; bf16
             # compute_dtype upstream casts params, so upcast here)
-            return jax.lax.complex(re.astype(jnp.float32),
-                                   im.astype(jnp.float32))[:, :m1, :m2, :]
+            return jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
 
-        w_pos = cplx_param("w_pos")  # modes [0, m1)
-        w_neg = cplx_param("w_neg")  # modes [-m1, 0)
+        # Row k of w_pos is frequency +k, row k of w_neg is frequency
+        # k - modes1 (it multiplies x_hat[-modes1+k] when h >= 2*modes1).
+        # When the grid only supports m1 < modes1, the surviving negative
+        # frequencies -m1..-1 live in the TAIL of w_neg — slice [-m1:], not
+        # [:m1], so each weight keeps its trained frequency across
+        # resolutions (resolution invariance).
+        w_pos = cplx_param("w_pos")[:, :m1, :m2, :]  # modes [0, m1)
+        w_neg = cplx_param("w_neg")[:, self.modes1 - m1 :, :m2, :]  # modes [-m1, 0)
 
         if self.impl == "matmul":
             from pregen_pde_tpu.ops import truncated_dft as td

@@ -20,7 +20,15 @@ transformers-free:
   the reference imports at `model.py:5-17`);
 - optional `learn_residual` (prediction += input physical channels) and
   FFT-based resolution transfer (`_downsample/_upsample :1243-1266` — exposed
-  here as `fft_resize`).
+  here as `fft_resize`);
+- stochastic depth at every Swin residual (default rate 0.1, per-layer
+  linspace split encoder/decoder exactly as `:926-947,1061-1082`; see
+  `scot_drop_path_rates`), dropout hooks (`hidden_dropout_prob`,
+  `attention_probs_dropout_prob`), both active only under ``train=True``;
+- `use_mask_token` + `bool_masked_pos` masked-embedding path (`:286-340`);
+- `pixel_mask` forcing applied to the PREDICTION inside forward (`:1372-1374`)
+  so forced channels propagate through AR feedback;
+- `residual_model="resnet"` skip-block alternative (`:190-216`).
 
 TPU-first notes: tokens stay in NHWC image layout (window partition is a pure
 reshape, lane dim = channels); attention einsums hit the MXU; shapes are fully
@@ -55,7 +63,7 @@ class ScOTConfig:
     embed_dim: int = 48
     depths: Sequence[int] = (4, 4, 4, 4)
     num_heads: Sequence[int] = (3, 6, 12, 24)
-    skip_connections: Sequence[int] = (2, 2, 2, 0)  # ConvNeXt depth per scale
+    skip_connections: Sequence[int] = (2, 2, 2, 0)  # residual-block depth/scale
     window_size: int = 16
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
@@ -63,6 +71,20 @@ class ScOTConfig:
     learn_residual: bool = False
     use_absolute_embeddings: bool = False
     layer_norm_eps: float = 1e-5
+    # regularization (reference `scOT/model.py:59-61`; drop-path is the only
+    # one active by default — stochastic depth rate 0.1, per-layer rates
+    # linspace(0, rate, 2·sum(depths)) split encoder/decoder, `:926-947,
+    # 1061-1082`). Active only when __call__ gets train=True (+ a "dropout"
+    # rng).
+    drop_path_rate: float = 0.1
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.0
+    # MAE-style masked-embedding hook (`:286-340`): learnable mask token that
+    # replaces patch embeddings where `bool_masked_pos` is set — Poseidon's
+    # masked-pretraining path.
+    use_mask_token: bool = False
+    # skip-path residual family: "convnext" (`:133-187`) or "resnet" (`:190-216`)
+    residual_model: str = "convnext"
 
 
 MODEL_SIZES = {
@@ -103,6 +125,24 @@ class CondLayerNorm(nn.Module):
         return xn * w.reshape(shape) + b.reshape(shape)
 
 
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (`Swinv2DropPath`; reference applies it at
+    every Swin residual add, `scOT/model.py:518-523`). Identity when
+    deterministic or rate == 0."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros_like(x))
+
+
 class WindowAttentionV2(nn.Module):
     """Swin-V2 window attention: cosine similarity × clamped learnable per-head
     logit scale, continuous relative-position bias from a log-CPB MLP."""
@@ -111,9 +151,12 @@ class WindowAttentionV2(nn.Module):
     num_heads: int
     window_size: int
     qkv_bias: bool = True
+    attn_dropout: float = 0.0
+    proj_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None,
+                 deterministic: bool = True) -> jax.Array:
         # x: (num_windows*B, N, C) with N = window²
         nb, n, c = x.shape
         h = self.num_heads
@@ -167,9 +210,11 @@ class WindowAttentionV2(nn.Module):
             attn = attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
             attn = attn.reshape(nb, h, n, n)
         attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
-        return nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, name="proj")(out)
+        return nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
 
 
 def _window_partition(x: jax.Array, ws: int) -> jax.Array:
@@ -199,7 +244,8 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
 
 class SwinLayerV2(nn.Module):
     """One Swin-V2 block in NHWC: windowed attention (+cyclic shift) with
-    post-norm residuals (`ScOTLayer`, `scOT/model.py:343-531`)."""
+    post-norm residuals (`ScOTLayer`, `scOT/model.py:343-531`); stochastic
+    depth applied at both residual adds (`:518-523`)."""
 
     dim: int
     num_heads: int
@@ -208,9 +254,13 @@ class SwinLayerV2(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     use_conditioning: bool = True
+    drop_path: float = 0.0
+    hidden_dropout: float = 0.0
+    attn_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, time: jax.Array | None) -> jax.Array:
+    def __call__(self, x: jax.Array, time: jax.Array | None,
+                 deterministic: bool = True) -> jax.Array:
         b, h, w, c = x.shape
         ws = min(self.window_size, h, w)
         shift = ws // 2 if (self.shift and h > ws) else 0
@@ -224,20 +274,24 @@ class SwinLayerV2(nn.Module):
         wins = _window_partition(x, ws)
         wins = WindowAttentionV2(
             dim=c, num_heads=self.num_heads, window_size=ws,
-            qkv_bias=self.qkv_bias, name="attention",
-        )(wins, mask)
+            qkv_bias=self.qkv_bias, attn_dropout=self.attn_dropout,
+            proj_dropout=self.hidden_dropout, name="attention",
+        )(wins, mask, deterministic)
         x = _window_reverse(wins, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
 
         x = CondLayerNorm(c, self.use_conditioning, name="norm1")(x, time)
-        x = shortcut + x
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            x, deterministic
+        )
 
         y = nn.Dense(int(c * self.mlp_ratio), name="mlp1")(x)
         y = nn.gelu(y)
         y = nn.Dense(c, name="mlp2")(y)
+        y = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(y)
         y = CondLayerNorm(c, self.use_conditioning, name="norm2")(y, time)
-        return x + y
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
 
 class PatchMerging(nn.Module):
@@ -304,6 +358,60 @@ class ConvNeXtBlock(nn.Module):
         return inp + gamma * x
 
 
+class ResNetBlock(nn.Module):
+    """Skip-path residual alternative (`scOT/model.py:190-216`): two 3×3
+    convs with batch norm + leaky-ReLU, + residual. The reference's
+    BatchNorm2d is replaced by a stateless batch-stat norm (current-batch
+    statistics in train and eval; no running averages — same rationale as
+    `models/cno.py`'s norm="batch" note)."""
+
+    dim: int
+    use_conditioning: bool = True  # unused (parity: reference ignores time too)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time) -> jax.Array:  # NHWC
+        def bnorm(z, name):
+            mu = jnp.mean(z, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(z, axis=(0, 1, 2), keepdims=True)
+            z = (z - mu) * jax.lax.rsqrt(var + 1e-5)
+            gamma = self.param(f"{name}_scale", nn.initializers.ones,
+                               (self.dim,), z.dtype)
+            beta = self.param(f"{name}_bias", nn.initializers.zeros,
+                              (self.dim,), z.dtype)
+            return z * gamma + beta
+
+        inp = x
+        x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv1")(x)
+        x = jax.nn.leaky_relu(bnorm(x, "bn1"), 0.01)
+        x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv2")(x)
+        x = bnorm(x, "bn2")
+        return inp + x
+
+
+def scot_drop_path_rates(depths: Sequence[int], rate: float):
+    """Per-layer stochastic-depth rates, exactly the reference scheme
+    (`scOT/model.py:926-947` encoder, `:1061-1082` decoder):
+    linspace(0, rate, 2·sum(depths)); encoder takes the first half in layer
+    order; the decoder takes the second half, sliced per stage as
+    dpr[sum(depths[i+1:]) : sum(depths[i:])] and REVERSED within each stage
+    (`:847`, the reference's own "TODO: reverse..."). Returns
+    (enc[(stage, blk)], dec[(stage, blk)]) rate dicts."""
+    total = 2 * sum(depths)
+    full = np.linspace(0.0, rate, total) if total else np.zeros(0)
+    half = total // 2
+    enc_flat, dec_flat = full[:half], full[half:]
+    enc, dec = {}, {}
+    for i, d in enumerate(depths):
+        off = sum(depths[:i])
+        for b in range(d):
+            enc[(i, b)] = float(enc_flat[off + b])
+        lo = sum(depths[i + 1 :])
+        stage = dec_flat[lo : lo + d]
+        for b in range(d):
+            dec[(i, b)] = float(stage[d - 1 - b])
+    return enc, dec
+
+
 def fft_resize(image: jax.Array, target_size: int) -> jax.Array:
     """FFT-based up/downsampling of square NHWC images
     (reference `_downsample/_upsample`, `scOT/model.py:1243-1266`)."""
@@ -326,13 +434,30 @@ def fft_resize(image: jax.Array, target_size: int) -> jax.Array:
 class ScOT(nn.Module):
     """Input (B, S, S, num_channels) + lead time (B,) →
     (B, S, S, num_out_channels); inputs at other resolutions are FFT-resized
-    to `config.image_size` and back (`scOT/model.py:1310-1316,1366-1371`)."""
+    to `config.image_size` and back (`scOT/model.py:1310-1316,1366-1371`).
+
+    ``train=True`` enables drop-path/dropout (requires a "dropout" rng in
+    `apply(..., rngs={"dropout": key})`). ``bool_masked_pos`` (B, grid, grid)
+    replaces masked patch embeddings by the learnable mask token
+    (`:286-340`; requires config.use_mask_token). ``pixel_mask`` (bool,
+    broadcastable to the output) forces those output pixels to ``labels`` —
+    the reference does this INSIDE forward (`:1372-1374`), so AR rollouts
+    feed forced values back."""
 
     config: ScOTConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        time: jax.Array | None = None,
+        train: bool = False,
+        bool_masked_pos: jax.Array | None = None,
+        pixel_mask: jax.Array | None = None,
+        labels: jax.Array | None = None,
+    ) -> jax.Array:
         cfg = self.config
+        det = not train
         in_size = x.shape[1]
         pixel_input = x
         if in_size != cfg.image_size:
@@ -341,15 +466,30 @@ class ScOT(nn.Module):
         uc = cfg.use_conditioning
         L = len(cfg.depths)
         grid = cfg.image_size // cfg.patch_size
+        enc_dpr, dec_dpr = scot_drop_path_rates(cfg.depths, cfg.drop_path_rate)
+        res_block = {"convnext": ConvNeXtBlock, "resnet": ResNetBlock}[
+            cfg.residual_model
+        ]
 
         # patchify
         x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
                     strides=(cfg.patch_size, cfg.patch_size), name="patch_embed")(x)
         x = CondLayerNorm(cfg.embed_dim, uc, name="embed_norm")(x, time)
+        if cfg.use_mask_token:
+            mask_token = self.param(
+                "mask_token", nn.initializers.zeros, (1, 1, 1, cfg.embed_dim)
+            )
+            if bool_masked_pos is not None:
+                m = bool_masked_pos[..., None].astype(x.dtype)  # (B, g, g, 1)
+                x = x * (1.0 - m) + mask_token * m
+        elif bool_masked_pos is not None:
+            raise ValueError("bool_masked_pos requires config.use_mask_token")
         if cfg.use_absolute_embeddings:
             pos = self.param("pos_embed", nn.initializers.zeros,
                              (1, grid, grid, cfg.embed_dim))
             x = x + pos
+        # embeddings dropout (`:316,338`)
+        x = nn.Dropout(cfg.hidden_dropout_prob, deterministic=det)(x)
 
         # encoder: collect skips BEFORE each downsample
         skips = []
@@ -360,16 +500,19 @@ class ScOT(nn.Module):
                     dim=dim, num_heads=cfg.num_heads[i],
                     window_size=cfg.window_size, shift=(d % 2 == 1),
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
-                    use_conditioning=uc, name=f"enc_{i}_blk_{d}",
-                )(x, time)
+                    use_conditioning=uc, drop_path=enc_dpr[(i, d)],
+                    hidden_dropout=cfg.hidden_dropout_prob,
+                    attn_dropout=cfg.attention_probs_dropout_prob,
+                    name=f"enc_{i}_blk_{d}",
+                )(x, time, det)
             skips.append(x)
             if i < L - 1:
                 x = PatchMerging(dim, uc, name=f"enc_{i}_merge")(x, time)
 
-        # ConvNeXt residual skip paths (depth per scale; 0 → identity)
+        # residual skip paths (depth per scale; 0 → identity)
         for i in range(L):
             for d in range(cfg.skip_connections[i]):
-                skips[i] = ConvNeXtBlock(
+                skips[i] = res_block(
                     cfg.embed_dim * 2**i, uc, name=f"skip_{i}_blk_{d}",
                 )(skips[i], time)
 
@@ -384,8 +527,11 @@ class ScOT(nn.Module):
                     dim=dim, num_heads=cfg.num_heads[i],
                     window_size=cfg.window_size, shift=(d % 2 == 1),
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
-                    use_conditioning=uc, name=f"dec_{i}_blk_{d}",
-                )(x, time)
+                    use_conditioning=uc, drop_path=dec_dpr[(i, d)],
+                    hidden_dropout=cfg.hidden_dropout_prob,
+                    attn_dropout=cfg.attention_probs_dropout_prob,
+                    name=f"dec_{i}_blk_{d}",
+                )(x, time, det)
             if i > 0:
                 x = PatchUnmerging(dim, uc, name=f"dec_{i}_unmerge")(x, time)
 
@@ -402,4 +548,9 @@ class ScOT(nn.Module):
                                cfg.image_size)
         if in_size != cfg.image_size:
             x = fft_resize(x, in_size)
+        if pixel_mask is not None:
+            if labels is None:
+                raise ValueError("pixel_mask forcing requires labels")
+            # `prediction[pixel_mask] = labels[pixel_mask]` (`:1372-1374`)
+            x = jnp.where(pixel_mask, labels.astype(x.dtype), x)
         return x

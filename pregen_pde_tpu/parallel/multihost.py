@@ -23,17 +23,34 @@ import numpy as np
 
 
 def initialize(**kwargs) -> None:
-    """Best-effort `jax.distributed.initialize`; silently a no-op when single
-    process or already initialized."""
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized
-    except Exception:
-        pass
+    """`jax.distributed.initialize`, tolerant ONLY of the benign cases —
+    already initialized, or single-process with no coordinator configured.
+    A real init failure (coordinator unreachable, rank mismatch, ...) in a
+    configured multi-process launch is re-raised: swallowing it would let a
+    pod job silently proceed as N disconnected single-host runs."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    import os
+
+    configured = bool(
+        kwargs.get("coordinator_address")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
     try:
         jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # "already initialized" is fine; anything else only when unconfigured
+        if "already initialized" in str(e).lower():
+            return
+        if configured:
+            raise
     except Exception:
-        pass  # single-process / no coordinator: fine
+        if configured:
+            raise
+        # single-process, nothing configured: auto-detection found no
+        # coordinator — fine, run single-host.
 
 
 def is_host0() -> bool:

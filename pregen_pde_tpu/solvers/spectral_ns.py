@@ -31,6 +31,13 @@ import numpy as np
 from pregen_pde_tpu.core.config import NSVorticityConfig
 from pregen_pde_tpu.core.grid import SpectralGrid2D
 
+# fused Pallas stepper variants -> matmul precision (`spectral_ns_pallas`)
+PALLAS_METHODS = {
+    "cn_ab2_pallas": "fast",
+    "cn_ab2_pallas_high": "high",
+    "cn_ab2_pallas_exact": "exact",
+}
+
 
 def fno_forcing(grid: SpectralGrid2D, amplitude: float = 0.1) -> np.ndarray:
     """f(x,y) = A (sin(2π(x+y)) + cos(2π(x+y))) — the classic FNO-dataset
@@ -335,7 +342,7 @@ class NSVorticitySolver:
         writes (`Regular/main.py:1002-1047`), expressed as `lax.scan` over
         snapshot intervals with an inner `fori_loop` of solver steps.
         """
-        if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
+        if method in PALLAS_METHODS:
             batched = self.make_batched_trajectory_fn_nu(method, inner_steps)
             return lambda w0: batched(w0[None])[0]
         if method == "cn_heun_packed":
@@ -359,7 +366,7 @@ class NSVorticitySolver:
 
     def make_batched_trajectory_fn(self, method: str = "cn_heun"):
         """vmap over a leading batch of initial vorticities: (B,n,n) → (B,T,n,n)."""
-        if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
+        if method in PALLAS_METHODS:
             return self.make_batched_trajectory_fn_nu(method)
         return jax.vmap(self.make_trajectory_fn(method))
 
@@ -368,17 +375,16 @@ class NSVorticitySolver:
 
         ``method="cn_ab2_pallas"`` (TPU only) runs the whole CN+AB2 loop as
         one fused VMEM-resident Mosaic kernel — ~10x the XLA-FFT path on the
-        north star (PERF.md); ``_exact`` = f32-exact matmuls, ~2.6x.
+        north star (PERF.md); ``_high`` = 3-pass split-bf16 matmuls
+        (rtol-1e-6 grade); ``_exact`` = f32-exact HIGHEST matmuls.
         Signature gains an optional traced ``inner_steps`` third arg, same
         as the packed jnp path.
         """
-        if method in ("cn_ab2_pallas", "cn_ab2_pallas_exact"):
+        if method in PALLAS_METHODS:
             from pregen_pde_tpu.solvers.spectral_ns_pallas import build_batched_traj
 
             return build_batched_traj(
-                self,
-                inner_steps,
-                precision="exact" if method.endswith("_exact") else "fast",
+                self, inner_steps, precision=PALLAS_METHODS[method]
             )
         return jax.vmap(self.make_trajectory_fn_nu(method, inner_steps))
 

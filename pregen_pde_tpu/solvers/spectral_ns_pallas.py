@@ -40,12 +40,14 @@ __all__ = ["build_batched_traj", "build_sharded_traj", "supported"]
 
 
 def supported(n: int) -> bool:
-    """Square grids, n a multiple of 128, up to 256: the whole working set
+    """Square grids, n a multiple of 128, up to 512: the whole working set
     (state + AB2 history + spectral constants + transform temporaries) must
-    fit the ~16 MB VMEM. 512²+ fails Mosaic compile (measured) — it would
-    need a block-row tiled FFT with HBM spills; those sizes fall back to
-    the XLA-FFT path."""
-    return n % 128 == 0 and 128 <= n <= 256
+    fit the ~16 MB VMEM. The separable-constant diet
+    (`_spectral_consts_diet`: vector wavenumber/dealias/k² constants,
+    in-kernel CN factors, sparse baked forcing) brings 512² (m=4, g=1)
+    under the budget; 640²+ would need block-row tiling with HBM spills and
+    falls back to the XLA-FFT path."""
+    return n % 128 == 0 and 128 <= n <= 512
 
 
 # ---------------------------------------------------------------------------
@@ -66,18 +68,82 @@ def _matrix_pack(plan: ct_fft.CTFFTPlan):
     return fr, fi, t(fr), t(fi), ir, ii, t(ir), t(ii)
 
 
-def _spectral_consts(solver, plan):
-    """Permuted 2-D spectral constants, f32 numpy (n,n)."""
+def _matrix_pack_split(plan: ct_fft.CTFFTPlan):
+    """Pre-split bf16 matrix packs for the 3-pass f32-grade mode
+    (precision="high"): each matmul-side combo M ∈ {D_r−D_i, D_i, D_r}
+    (the three matrices `_cmm_r`/`_cmm_l` multiply by) is stored as
+    (hi, lo) bf16 halves with M ≈ hi + lo (lo = bf16(M − f32(hi))), giving
+    ~16 mantissa bits of the constant. x @ M is then evaluated as
+    x_hi@hi + x_hi@lo + x_lo@hi — three ONE-PASS bf16 MXU matmuls
+    (≈2⁻¹⁷ relative, vs 2⁻⁹ for a single pass and ~2⁻²⁶ for HIGHEST's six).
+
+    Returns 4 arrays of shape (6m, 128, 128) bf16 — [fwd-right, fwd-left,
+    inv-right, inv-left], each laid out chunk-major: index c*6 + t*2 + h
+    with t ∈ {0: D_r−D_i, 1: D_i, 2: D_r}, h ∈ {0: hi, 1: lo}.
+    """
+
+    def split(mat):
+        hi = mat.astype(np.float32).astype(np.dtype("bfloat16"))
+        lo = (mat.astype(np.float32) - hi.astype(np.float32)).astype(
+            np.dtype("bfloat16")
+        )
+        return hi, lo
+
+    def pack(mats_r, mats_i, transpose):
+        out = []
+        for dr, di in zip(mats_r, mats_i):
+            dr = np.asarray(dr, np.float64)
+            di = np.asarray(di, np.float64)
+            if transpose:
+                dr, di = dr.T, di.T
+            for combo in (dr - di, di, dr):
+                out.extend(split(combo))
+        return np.ascontiguousarray(np.stack(out))
+
+    fwd_r = [d.real for d in plan.fwd]
+    fwd_i = [d.imag for d in plan.fwd]
+    inv_r = [d.real for d in plan.inv]
+    inv_i = [d.imag for d in plan.inv]
+    return (
+        pack(fwd_r, fwd_i, False),
+        pack(fwd_r, fwd_i, True),
+        pack(inv_r, inv_i, False),
+        pack(inv_r, inv_i, True),
+    )
+
+
+def _spectral_consts_diet(solver, plan):
+    """Separable spectral constants (VMEM diet, the 512² enabler).
+
+    Of the stepper's spectral constants only 1/|k|² is genuinely 2-D; the
+    wavenumber factors and 2/3-rule mask are outer products of 1-D vectors
+    (`core/grid.py:142-177`), and k² = kx² + ky² is a broadcast SUM — so
+    instead of five g-tiled (g·n, n) arrays the kernel receives tiny lane-
+    and sublane-layout vectors (replicated to the (8, ·)/(·, 128) minimum
+    tiles) plus ONE (n, n) ik2 plane, and rebuilds everything else as fused
+    broadcast expressions. The CN factors (1 ∓ ½·dt·ν·k²) are likewise
+    computed in-kernel per image from the k² vectors and a ν SMEM scalar —
+    no per-image (n, n) inputs at all.
+    """
     g = solver.grid
     n = g.n
+    perm = plan.perm
     f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
-    P = lambda a: ct_fft.permute2(np.broadcast_to(a, (n, n)), n, plan.m)
-    kx = P(np.asarray(g.kx_full_deriv).reshape(1, n))
-    ky = P(np.asarray(g.ky_full_deriv).reshape(n, 1))
-    ik2 = P(np.asarray(g.inv_k2_full))
-    de = P(np.asarray(g.dealias_mask_full))
-    k2 = P(np.asarray(g.k2_full))
-    return f32(kx), f32(ky), f32(ik2), f32(de), f32(k2)
+    row = lambda v: f32(np.broadcast_to(np.asarray(v).reshape(1, n)[:, perm], (8, n)))
+    col = lambda v: f32(np.broadcast_to(np.asarray(v).reshape(n, 1)[perm], (n, 128)))
+    kmax = (n // 2) * (2.0 * np.pi / g.length)
+    cutoff = (2.0 / 3.0) * kmax
+    de1 = (np.abs(g.k_full) <= cutoff).astype(np.float64)
+    ik2 = f32(ct_fft.permute2(np.asarray(g.inv_k2_full), n, plan.m))
+    return dict(
+        kx_row=row(g.kx_full_deriv),
+        ky_col=col(g.ky_full_deriv),
+        dx_row=row(de1),
+        dy_col=col(de1),
+        k2x_row=row(g.k_full**2),
+        k2y_col=col(g.k_full**2),
+        ik2=ik2,
+    )
 
 
 def _forcing_stored(solver, plan, n):
@@ -93,6 +159,29 @@ def _forcing_stored(solver, plan, n):
         np.ascontiguousarray(F.real, np.float32),
         np.ascontiguousarray(F.imag, np.float32),
     )
+
+
+def _sparse_forcing(fr_np, fi_np, k_full, perm, max_terms: int = 16):
+    """Physically meaningful forcings (fno, kolmogorov) have a handful of
+    nonzero Fourier coefficients; bake them into the kernel as static
+    (row, col, re, im, |k|²) deltas — applied as per-element scalar updates
+    in the CN/AB2 state update (the constant-F contribution telescopes to
+    +dt·F̂·vd per step), so sparse forcings never carry an (n, n) plane
+    (2 MB at 512²). Returns a list (possibly empty = no forcing) or None
+    (dense fallback: F̂ kept as two (n, n) refs added inside rhs)."""
+    mag = np.abs(fr_np).astype(np.float64) + np.abs(fi_np)
+    tol = mag.max() * 1e-10 if mag.max() > 0 else 0.0
+    idx = np.argwhere(mag > tol)
+    if len(idx) > max_terms:
+        return None
+    k_full = np.asarray(k_full, np.float64)
+    return [
+        (
+            int(i), int(j), float(fr_np[i, j]), float(fi_np[i, j]),
+            float(k_full[perm[i]] ** 2 + k_full[perm[j]] ** 2),
+        )
+        for i, j in idx
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -140,6 +229,75 @@ def _dot(a, b, prec):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
+# -- 3-pass split-bf16 helpers (precision="high") ---------------------------
+
+
+def _split_bf16(x):
+    """f32 → (hi, lo) bf16 with x ≈ hi + lo (~16 mantissa bits)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _sdot_r(x, mh, ml):
+    """x @ M with M = mh + ml pre-split: 3 one-pass bf16 MXU matmuls."""
+    xh, xl = _split_bf16(x)
+    return (
+        jnp.dot(xh, mh, preferred_element_type=jnp.float32)
+        + jnp.dot(xh, ml, preferred_element_type=jnp.float32)
+        + jnp.dot(xl, mh, preferred_element_type=jnp.float32)
+    )
+
+
+def _sdot_l(mh, ml, x):
+    xh, xl = _split_bf16(x)
+    return (
+        jnp.dot(mh, xh, preferred_element_type=jnp.float32)
+        + jnp.dot(ml, xh, preferred_element_type=jnp.float32)
+        + jnp.dot(mh, xl, preferred_element_type=jnp.float32)
+    )
+
+
+def _scmm_r(ar, ai, pack, c):
+    """Split-mode complex right-multiply; pack rows c*6+{0..5} =
+    {(D_r−D_i), D_i, D_r} × {hi, lo} (see `_matrix_pack_split`)."""
+    o = c * 6
+    m0 = _sdot_r(ar, pack[o + 0], pack[o + 1])
+    m1 = _sdot_r(ar - ai, pack[o + 2], pack[o + 3])
+    m2 = _sdot_r(ar + ai, pack[o + 4], pack[o + 5])
+    return m0 + m1, m2 - m0
+
+
+def _scmm_l(pack, c, ar, ai):
+    o = c * 6
+    m0 = _sdot_l(pack[o + 0], pack[o + 1], ar)
+    m1 = _sdot_l(pack[o + 2], pack[o + 3], ar - ai)
+    m2 = _sdot_l(pack[o + 4], pack[o + 5], ar + ai)
+    return m0 + m1, m2 - m0
+
+
+def _scmm_r_real(ar, pack, c):
+    o = c * 6
+    xh, xl = _split_bf16(ar)
+    dot = lambda mh, ml: (
+        jnp.dot(xh, mh, preferred_element_type=jnp.float32)
+        + jnp.dot(xh, ml, preferred_element_type=jnp.float32)
+        + jnp.dot(xl, mh, preferred_element_type=jnp.float32)
+    )
+    return dot(pack[o + 4], pack[o + 5]), dot(pack[o + 2], pack[o + 3])
+
+
+def _scmm_l_real(pack, c, ar):
+    o = c * 6
+    xh, xl = _split_bf16(ar)
+    dot = lambda mh, ml: (
+        jnp.dot(mh, xh, preferred_element_type=jnp.float32)
+        + jnp.dot(ml, xh, preferred_element_type=jnp.float32)
+        + jnp.dot(mh, xl, preferred_element_type=jnp.float32)
+    )
+    return dot(pack[o + 4], pack[o + 5]), dot(pack[o + 2], pack[o + 3])
+
+
 def _cmm_r(ar, ai, dr, di, prec):
     """(ar+i·ai) @ (dr+i·di) — 3 real MXU matmuls."""
     m0 = _dot(ar, dr - di, prec)
@@ -175,12 +333,16 @@ class _KernelFFT:
     """
 
     def __init__(self, m, table, fr, fi, frT, fiT, ir, ii, irT, iiT,
-                 prec=None, g=1, n=None):
+                 prec=None, g=1, n=None, split=None):
         self.m, self.t = m, table
         self.prec = prec
         self.g, self.n = g, n  # g images stacked along the sublane axis
         self.fr, self.fi, self.frT, self.fiT = fr, fi, frT, fiT
         self.ir, self.ii, self.irT, self.iiT = ir, ii, irT, iiT
+        # precision="high": (fwdR, fwdL, invR, invL) pre-split bf16 packs —
+        # every hot-loop matmul becomes 3 one-pass products (see
+        # `_matrix_pack_split`); `prec` is ignored on the split path.
+        self.split = split
 
     def _per_image(self, fn, xr, xi, **kw):
         """Sub-axis transforms act per image; with g stacked images apply the
@@ -217,10 +379,16 @@ class _KernelFFT:
 
     def fwd_lane(self, xr, xi):
         combos = _combine(self._chunks_lane(xr, xi), self.t, False, 1.0)
-        outs = [
-            _cmm_r(sr, si, self.fr[c], self.fi[c], self.prec)
-            for c, (sr, si) in enumerate(combos)
-        ]
+        if self.split is not None:
+            outs = [
+                _scmm_r(sr, si, self.split[0], c)
+                for c, (sr, si) in enumerate(combos)
+            ]
+        else:
+            outs = [
+                _cmm_r(sr, si, self.fr[c], self.fi[c], self.prec)
+                for c, (sr, si) in enumerate(combos)
+            ]
         return (
             jnp.concatenate([o[0] for o in outs], axis=1),
             jnp.concatenate([o[1] for o in outs], axis=1),
@@ -233,18 +401,30 @@ class _KernelFFT:
         if real_input and self.m <= 2:
             ch = [c for c, _ in self._chunks_sub(xr, xr)]
             combos = [(ch[0] + ch[1]), (ch[0] - ch[1])] if self.m == 2 else [ch[0]]
-            outs = [
-                _cmm_l_real(self.frT[c], self.fiT[c], sr, self.prec)
-                for c, sr in enumerate(combos)
-            ]
+            if self.split is not None:
+                outs = [
+                    _scmm_l_real(self.split[1], c, sr)
+                    for c, sr in enumerate(combos)
+                ]
+            else:
+                outs = [
+                    _cmm_l_real(self.frT[c], self.fiT[c], sr, self.prec)
+                    for c, sr in enumerate(combos)
+                ]
         else:
             if real_input:
                 xi = jnp.zeros_like(xr)
             combos = _combine(self._chunks_sub(xr, xi), self.t, False, 1.0)
-            outs = [
-                _cmm_l(self.frT[c], self.fiT[c], sr, si, self.prec)
-                for c, (sr, si) in enumerate(combos)
-            ]
+            if self.split is not None:
+                outs = [
+                    _scmm_l(self.split[1], c, sr, si)
+                    for c, (sr, si) in enumerate(combos)
+                ]
+            else:
+                outs = [
+                    _cmm_l(self.frT[c], self.fiT[c], sr, si, self.prec)
+                    for c, (sr, si) in enumerate(combos)
+                ]
         return (
             jnp.concatenate([o[0] for o in outs], axis=0),
             jnp.concatenate([o[1] for o in outs], axis=0),
@@ -259,10 +439,16 @@ class _KernelFFT:
 
     def inv_lane(self, xr, xi):
         ch = self._chunks_lane(xr, xi)
-        ts = [
-            _cmm_r(er, ei, self.ir[c], self.ii[c], self.prec)
-            for c, (er, ei) in enumerate(ch)
-        ]
+        if self.split is not None:
+            ts = [
+                _scmm_r(er, ei, self.split[2], c)
+                for c, (er, ei) in enumerate(ch)
+            ]
+        else:
+            ts = [
+                _cmm_r(er, ei, self.ir[c], self.ii[c], self.prec)
+                for c, (er, ei) in enumerate(ch)
+            ]
         outs = _combine(ts, self.t, True, 1.0 / self.m)
         return (
             jnp.concatenate([o[0] for o in outs], axis=1),
@@ -271,10 +457,16 @@ class _KernelFFT:
 
     def inv_sub(self, xr, xi):
         ch = self._chunks_sub(xr, xi)
-        ts = [
-            _cmm_l(self.irT[c], self.iiT[c], er, ei, self.prec)
-            for c, (er, ei) in enumerate(ch)
-        ]
+        if self.split is not None:
+            ts = [
+                _scmm_l(self.split[3], c, er, ei)
+                for c, (er, ei) in enumerate(ch)
+            ]
+        else:
+            ts = [
+                _cmm_l(self.irT[c], self.iiT[c], er, ei, self.prec)
+                for c, (er, ei) in enumerate(ch)
+            ]
         outs = _combine(ts, self.t, True, 1.0 / self.m)
         return (
             jnp.concatenate([o[0] for o in outs], axis=0),
@@ -292,12 +484,22 @@ class _KernelFFT:
 
 
 def build_batched_traj(solver, inner_steps: int | None = None,
-                       precision: str = "fast", group: int | str = "auto"):
+                       precision: str = "fast", group: int | str = "auto",
+                       output: str = "vorticity"):
     """Batched trajectory integrator ``traj(w0:(B,n,n), nu:(B,)|None) ->
     (B, T, n, n)`` running the whole CN+AB2 loop in one Pallas kernel.
 
     Matches ``jax.vmap(solver.make_trajectory_fn_nu("cn_ab2_packed"))``
     output semantics (incl. ``include_initial``).
+
+    ``output="fields"`` fuses the contract-packing diagnosis INTO the
+    kernel: each snapshot emits (u, v, p) directly — the per-snapshot
+    transforms (velocity pack, two derivative packs, the pressure-Poisson
+    forward/inverse; ≡ `fields_from_vorticity`,
+    `solvers/spectral_ns.py:387-392`) run VMEM-resident at HIGHEST right
+    after the inner loop, instead of as a separate XLA-FFT pass over the
+    full (B,T,n,n) vorticity array (`datagen/pipeline.py::_pack_contract`).
+    Returns (B, T, n, n, 3) [u, v, p].
 
     ``precision``:
       - "fast" — hot-loop FFT matmuls at the Mosaic default (one bf16 MXU
@@ -306,26 +508,46 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         spectrum agrees to ~0.1% in every band — below float16 storage
         quantization; PERF.md). The initial transform and the per-snapshot
         output transform always run HIGHEST.
+      - "high" — hot-loop matmuls via the 3-pass split-bf16 scheme
+        (`_matrix_pack_split`, ~2⁻¹⁷ per-op): the rtol-1e-6-grade path at
+        3x the fast pass count instead of HIGHEST's 6x.
       - "exact" — every matmul at HIGHEST (f32-exact, 6-pass): trajectory
-        matches the jnp path to f32 roundoff (~3e-7), ~2.6x over XLA-FFT.
+        matches the jnp path to f32 roundoff (~3e-7).
 
     ``group``: images per kernel instance ("auto" picks the largest VMEM-fit
     divisor of B — see the rule in `traj`).
+
+    VMEM diet (`_spectral_consts_diet`): spectral constants enter as 1-D
+    lane/sublane vectors + one (n, n) ik2 plane; the CN viscosity factors
+    are computed in-kernel from k² vectors and a ν SMEM scalar; sparse
+    forcings are baked in as static spectral deltas. This is what lets 512²
+    (m=4) fit VMEM — earlier layouts carried five g-tiled (g·n, n) planes
+    plus two (g·n, n) CN-factor inputs and failed Mosaic compile at 512².
     """
     cfg = solver.cfg
     n = cfg.resolution
     if not supported(n):
         raise ValueError(
-            f"pallas stepper requires n in {{128, 256}} (VMEM bound), got {n}"
+            f"pallas stepper requires n in {{128, 256, 384, 512}} "
+            f"(multiples of 128; VMEM bound), got {n}"
         )
-    if precision not in ("fast", "exact"):
-        raise ValueError(f"precision must be 'fast' or 'exact', got {precision!r}")
+    if precision not in ("fast", "high", "exact"):
+        raise ValueError(
+            f"precision must be 'fast', 'high' or 'exact', got {precision!r}"
+        )
+    if output not in ("vorticity", "fields"):
+        raise ValueError(f"output must be 'vorticity' or 'fields', got {output!r}")
+    use_split = precision == "high"
+    fields_out = output == "fields"
     m = n // 128
     plan = ct_fft.make_plan(n, m)
     table = _bf(m)
     mats = _matrix_pack(plan)
-    kx, ky, ik2, de, k2p = _spectral_consts(solver, plan)
+    split_mats = _matrix_pack_split(plan) if use_split else ()
+    consts = _spectral_consts_diet(solver, plan)
     fr_np, fi_np = _forcing_stored(solver, plan, n)
+    sparse_f = _sparse_forcing(fr_np, fi_np, solver.grid.k_full, plan.perm)
+    dense_forcing = sparse_f is None
     dt = float(cfg.dt)
     drag = float(cfg.drag)
     dealias = bool(cfg.dealias)
@@ -337,14 +559,32 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         inner = int(inner_steps)
 
     def make_kernel(g):
-      def kernel(
-        inner_ref,
-        w0r_ref, w0i_ref, vn_ref, vd_ref,
-        kx_ref, ky_ref, ik2_ref, de_ref, fr_ref, fi_ref,
-        fr_m, fi_m, frT_m, fiT_m, ir_m, ii_m, irT_m, iiT_m,
-        out_ref,
-        wr, wi, nr, ni,
-      ):
+      def kernel(*refs):
+        (
+            inner_ref,
+            w0r_ref, w0i_ref, nu_ref,
+            kxr_ref, kyc_ref, dxr_ref, dyc_ref, k2x_ref, k2y_ref, ik2_ref,
+        ) = refs[:11]
+        idx = 11
+        if dense_forcing:
+            fr_ref, fi_ref = refs[idx : idx + 2]
+            idx += 2
+        (fr_m, fi_m, frT_m, fiT_m, ir_m, ii_m, irT_m, iiT_m) = refs[
+            idx : idx + 8
+        ]
+        idx += 8
+        split_vals = None
+        if use_split:
+            split_vals = tuple(r[:] for r in refs[idx : idx + 4])
+            idx += 4
+        if fields_out:
+            out_u, out_v, out_p = refs[idx : idx + 3]
+            idx += 3
+        else:
+            out_ref = refs[idx]
+            idx += 1
+        wr, wi, nr, ni, vnS, vdS = refs[idx : idx + 6]
+
         s = pl.program_id(1)
         loop_prec = (
             jax.lax.Precision.HIGHEST if precision == "exact" else None
@@ -352,38 +592,73 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         fft = _KernelFFT(
             m, table,
             fr_m, fi_m, frT_m, fiT_m, ir_m, ii_m, irT_m, iiT_m,
-            prec=loop_prec, g=g, n=n,
+            prec=loop_prec, g=g, n=n, split=split_vals,
         )
         fft_out = _KernelFFT(
             m, table,
             fr_m, fi_m, frT_m, fiT_m, ir_m, ii_m, irT_m, iiT_m,
             prec=jax.lax.Precision.HIGHEST, g=g, n=n,
         )
-        kxv, kyv, ik2v, dev = kx_ref[:], ky_ref[:], ik2_ref[:], de_ref[:]
-        fFr, fFi = fr_ref[:], fi_ref[:]
-        vn = vn_ref[:].reshape(g * n, n)
-        vd = vd_ref[:].reshape(g * n, n)
+        # broadcastable spectral constants, fused at use sites — nothing is
+        # g-tiled or materialized: row constants broadcast directly against
+        # (g·n, n); per-image (n, ·) constants broadcast through a free
+        # (g, n, n) reshape (`bimg`)
+        kxr = kxr_ref[0:1, :]                        # (1, n)
+        kyc1 = kyc_ref[:, 0:1]                       # (n, 1)
+        dxr = dxr_ref[0:1, :]
+        dyc1 = dyc_ref[:, 0:1]
+        ik2v = ik2_ref[:]
+
+        # with VMEM headroom (n ≤ 256), materialize the per-image constants
+        # g-tiled once — plain full-plane VPU multiplies lower best; at 512²
+        # keep the reshape-broadcast form (no (g·n, n) constant planes)
+        tile2d = g * n * n <= 2 * 256 * 256
+        if tile2d:
+            big = lambda c: (
+                jnp.broadcast_to(c, (n, n)) if g == 1
+                else jnp.concatenate([jnp.broadcast_to(c, (n, n))] * g, 0)
+            )
+            big_c = {"ik2": big(ik2v), "ky": big(kyc1), "dy": big(dyc1)}
+
+        def bimg(x, c, key):
+            """x (g·n, n) × per-image constant c ((n, 1) or (n, n))."""
+            if tile2d:
+                return x * big_c[key]
+            if g == 1:
+                return x * c
+            return (x.reshape(g, n, n) * c[None]).reshape(g * n, n)
 
         def rhs(ar, ai):
-            pr, pi = ar * ik2v, ai * ik2v
+            """−dealias(u·∇w)^ − drag·ŵ. Forcing is NOT included here: it
+            is a constant, so its AB2 contribution telescopes to +dt·F̂·vd
+            per step and is applied as per-element scalar updates in `body`
+            (sparse forcings never materialize an (n, n) plane)."""
+            pr, pi = bimg(ar, ik2v, "ik2"), bimg(ai, ik2v, "ik2")
             # velocity pack: (kx + i·ky)·psi → ifft2 → u + i·v
-            c1r = kxv * pr - kyv * pi
-            c1i = kxv * pi + kyv * pr
+            c1r = kxr * pr - bimg(pi, kyc1, "ky")
+            c1i = kxr * pi + bimg(pr, kyc1, "ky")
             ur, vr_ = fft.ifft2(c1r, c1i)
             # gradient pack: (−ky + i·kx)·w → ifft2 → w_x + i·w_y
-            c2r = -kyv * ar - kxv * ai
-            c2i = kxv * ar - kyv * ai
+            c2r = -bimg(ar, kyc1, "ky") - kxr * ai
+            c2i = kxr * ar - bimg(ai, kyc1, "ky")
             gr, gi = fft.ifft2(c2r, c2i)
             adv = ur * gr + vr_ * gi
             Ar, Ai = fft.fft2(adv, real_input=True)
             if dealias:
-                Ar, Ai = Ar * dev, Ai * dev
-            outr = -Ar + fFr
-            outi = -Ai + fFi
+                Ar = bimg(Ar * dxr, dyc1, "dy")
+                Ai = bimg(Ai * dxr, dyc1, "dy")
+            outr, outi = -Ar, -Ai
+            if dense_forcing:
+                fFr, fFi = fr_ref[:], fi_ref[:]
+                outr = outr + (fFr if g == 1 else jnp.concatenate([fFr] * g, 0))
+                outi = outi + (fFi if g == 1 else jnp.concatenate([fFi] * g, 0))
             if drag != 0.0:
                 outr = outr - drag * ar
                 outi = outi - drag * ai
             return outr, outi
+
+        halfdt = 0.5 * dt
+        b0 = pl.program_id(0)
 
         @pl.when(s == 0)
         def _init():
@@ -392,12 +667,42 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             wr[:], wi[:] = w0r, w0i
             r0, i0 = rhs(w0r, w0i)
             nr[:], ni[:] = r0, i0
+            # CN factors precomputed ONCE into scratch from the separable k²
+            # and the per-image ν SMEM scalar (no (n, n) viscosity inputs,
+            # no per-step recompute — measured ~16% of step time); nu_ref
+            # holds the WHOLE (B,) array (rank-1 SMEM blocks must be
+            # whole-array on Mosaic) — instance b covers images b·g+im
+            k2x = k2x_ref[0:1, :]  # (1, n)
+            k2y = k2y_ref[:, 0:1]  # (n, 1)
+            for im in range(g):
+                sl = slice(im * n, (im + 1) * n)
+                nuk2 = nu_ref[b0 * g + im] * (k2y + k2x)
+                vnS[sl, :] = 1.0 - halfdt * nuk2
+                vdS[sl, :] = 1.0 / (1.0 + halfdt * nuk2)
 
         def body(i, carry):
             ar, ai = wr[:], wi[:]
             r1, i1 = rhs(ar, ai)
-            wr[:] = (ar * vn + dt * (1.5 * r1 - 0.5 * nr[:])) * vd
-            wi[:] = (ai * vn + dt * (1.5 * i1 - 0.5 * ni[:])) * vd
+            wr[:] = (ar * vnS[:] + dt * (1.5 * r1 - 0.5 * nr[:])) * vdS[:]
+            wi[:] = (ai * vnS[:] + dt * (1.5 * i1 - 0.5 * ni[:])) * vdS[:]
+            # constant forcing: AB2 telescopes to +dt·F̂·vd each step
+            # (incl. the Euler bootstrap) — per-element scalar updates,
+            # k² at each forced mode is a static host-side constant
+            for im in range(g):
+                nu_im = None
+                for (i0, j0, fr_v, fi_v, k2e) in sparse_f or ():
+                    if nu_im is None:
+                        nu_im = nu_ref[b0 * g + im]
+                    vd_e = dt / (1.0 + halfdt * nu_im * k2e)
+                    r_ = im * n + i0
+                    if fr_v != 0.0:
+                        wr[r_ : r_ + 1, j0 : j0 + 1] = (
+                            wr[r_ : r_ + 1, j0 : j0 + 1] + fr_v * vd_e
+                        )
+                    if fi_v != 0.0:
+                        wi[r_ : r_ + 1, j0 : j0 + 1] = (
+                            wi[r_ : r_ + 1, j0 : j0 + 1] + fi_v * vd_e
+                        )
             nr[:], ni[:] = r1, i1
             return carry
 
@@ -405,8 +710,35 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         # difficulty-horizon bucket (≡ the jnp path's traced inner_steps;
         # the reference would recompile per `RE_TIME_SCHEDULE` horizon)
         jax.lax.fori_loop(0, inner_ref[0], body, 0, unroll=False)
-        sr, _ = fft_out.ifft2(wr[:], wi[:])
-        out_ref[:, 0] = sr.reshape(g, n, n)
+        if fields_out:
+            # fused contract diagnosis ≡ fields_from_vorticity
+            # (`spectral_ns.py:94-124`), all VMEM-resident at HIGHEST:
+            ar, ai = wr[:], wi[:]
+            pr_, pi_ = bimg(ar, ik2v, "ik2"), bimg(ai, ik2v, "ik2")  # ψ̂
+            # velocity pack (kx + i·ky)·ψ̂ → u + i·v
+            c1r = kxr * pr_ - bimg(pi_, kyc1, "ky")
+            c1i = kxr * pi_ + bimg(pr_, kyc1, "ky")
+            ur, vr2 = fft_out.ifft2(c1r, c1i)
+            # derivative packs: u_x + i·u_y = ifft2(−(kx+i·ky)·ky·ψ̂),
+            #                   v_x + i·v_y = ifft2( (kx+i·ky)·kx·ψ̂)
+            t3r, t3i = -bimg(pr_, kyc1, "ky"), -bimg(pi_, kyc1, "ky")
+            c3r = kxr * t3r - bimg(t3i, kyc1, "ky")
+            c3i = kxr * t3i + bimg(t3r, kyc1, "ky")
+            uxr, uyr = fft_out.ifft2(c3r, c3i)
+            t4r, t4i = kxr * pr_, kxr * pi_
+            c4r = kxr * t4r - bimg(t4i, kyc1, "ky")
+            c4i = kxr * t4i + bimg(t4r, kyc1, "ky")
+            vxr, vyr = fft_out.ifft2(c4r, c4i)
+            # Δp = 2(u_x v_y − u_y v_x) → p̂ = −rhŝ/|k|²
+            rhs_p = 2.0 * (uxr * vyr - uyr * vxr)
+            Rr, Ri = fft_out.fft2(rhs_p, real_input=True)
+            pre, _ = fft_out.ifft2(-bimg(Rr, ik2v, "ik2"), -bimg(Ri, ik2v, "ik2"))
+            out_u[:, 0] = ur.reshape(g, n, n)
+            out_v[:, 0] = vr2.reshape(g, n, n)
+            out_p[:, 0] = pre.reshape(g, n, n)
+        else:
+            sr, _ = fft_out.ifft2(wr[:], wi[:])
+            out_ref[:, 0] = sr.reshape(g, n, n)
 
       return kernel
 
@@ -415,7 +747,8 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         # group g images per kernel instance: the lane-axis FFT matmuls get
         # g-x wider M (better MXU utilization); sub-axis passes stay
         # per-image. VMEM bounds g·n² ≤ 2·256² (measured: g=2 best at 256²
-        # [+8%], g=8 at 128² [+77%, 595 traj/s]; one step beyond each OOMs).
+        # [+8%], g=8 at 128² [+77%, 595 traj/s]; one step beyond each OOMs;
+        # 512² runs g=1).
         if group == "auto":
             g_max = max(1, (2 * 256 * 256) // (n * n))
             g = next((g for g in (8, 4, 2, 1) if g <= g_max and B % g == 0), 1)
@@ -423,29 +756,33 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             g = int(group)
             if B % g:
                 raise ValueError(f"batch {B} not divisible by group {g}")
-        c2d = lambda: pl.BlockSpec(
-            (g * n, n), lambda b, s: (0, 0), memory_space=pltpu.VMEM
-        )
         cb = lambda: pl.BlockSpec(
             (g, n, n), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        crow = lambda: pl.BlockSpec(
+            (8, n), lambda b, s: (0, 0), memory_space=pltpu.VMEM
+        )
+        ccol = lambda: pl.BlockSpec(
+            (n, 128), lambda b, s: (0, 0), memory_space=pltpu.VMEM
+        )
+        cnn = lambda: pl.BlockSpec(
+            (n, n), lambda b, s: (0, 0), memory_space=pltpu.VMEM
         )
         cm = lambda: pl.BlockSpec(
             (m, 128, 128), lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM
         )
-        tile = lambda a: jnp.tile(jnp.asarray(a), (g, 1))
+        cs = lambda: pl.BlockSpec(
+            (6 * m, 128, 128), lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM
+        )
         inner_v = jnp.asarray(
             inner if inner_steps is None else inner_steps, jnp.int32
         ).reshape(1)
         w0f = w0.astype(jnp.float32)
         w0r, w0i = ct_fft.fft2_stored(w0f, jnp.zeros_like(w0f), plan)
-        k2j = jnp.asarray(k2p)
         nu_v = jnp.asarray(cfg.viscosity if nu is None else nu, jnp.float32)
-        nu_k2 = (
-            nu_v[:, None, None] * k2j[None] if nu_v.ndim == 1 else
-            jnp.broadcast_to(nu_v * k2j, (B, n, n))
-        )
-        vn = 1.0 - 0.5 * dt * nu_k2
-        vd = 1.0 / (1.0 + 0.5 * dt * nu_k2)
+        nu_b = (
+            nu_v if nu_v.ndim == 1 else jnp.broadcast_to(nu_v, (B,))
+        ).astype(jnp.float32)
         grid = (B // g, S)
         # CPU (tests, virtual meshes): run through the Pallas interpreter —
         # same semantics, no Mosaic. TPU-specific compiler params only apply
@@ -457,6 +794,10 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             else {
                 "compiler_params": pltpu.CompilerParams(
                     dimension_semantics=("arbitrary", "arbitrary"),
+                    # the 16 MB scoped-vmem cap is a compiler default, not
+                    # the v5e hardware (128 MB physical VMEM); the working
+                    # set at 256² g=2 / 512² g=1 sits at ~20-40 MB
+                    vmem_limit_bytes=100 * 1024 * 1024,
                 )
             }
         )
@@ -466,25 +807,58 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1,), lambda b, s: (0,), memory_space=pltpu.SMEM),
-                cb(), cb(), cb(), cb(),  # w0r, w0i, vn, vd
-                c2d(), c2d(), c2d(), c2d(), c2d(), c2d(),  # kx ky ik2 de fr fi
+                cb(), cb(),  # w0r, w0i
+                # whole (B,) ν array per instance (rank-1 SMEM blocks must
+                # be whole-array on Mosaic); kernel indexes b·g+im
+                pl.BlockSpec((B,), lambda b, s: (0,), memory_space=pltpu.SMEM),
+                crow(), ccol(), crow(), ccol(), crow(), ccol(),  # kx ky dx dy k2x k2y
+                cnn(),  # ik2
+                *([cnn(), cnn()] if dense_forcing else []),
                 cm(), cm(), cm(), cm(), cm(), cm(), cm(), cm(),
+                *[cs() for _ in split_mats],
             ],
-            out_specs=pl.BlockSpec(
-                (g, 1, n, n), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM
+            out_specs=(
+                [
+                    pl.BlockSpec((g, 1, n, n), lambda b, s: (b, s, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(3)
+                ]
+                if fields_out
+                else pl.BlockSpec((g, 1, n, n), lambda b, s: (b, s, 0, 0),
+                                  memory_space=pltpu.VMEM)
             ),
-            out_shape=jax.ShapeDtypeStruct((B, S, n, n), jnp.float32),
+            out_shape=(
+                [jax.ShapeDtypeStruct((B, S, n, n), jnp.float32)
+                 for _ in range(3)]
+                if fields_out
+                else jax.ShapeDtypeStruct((B, S, n, n), jnp.float32)
+            ),
             scratch_shapes=[
-                pltpu.VMEM((g * n, n), jnp.float32) for _ in range(4)
+                pltpu.VMEM((g * n, n), jnp.float32) for _ in range(6)
             ],
             **extra,
         )(
             inner_v,
-            w0r, w0i, vn, vd,
-            tile(kx), tile(ky), tile(ik2),
-            tile(de), tile(fr_np), tile(fi_np),
+            w0r, w0i, nu_b,
+            consts["kx_row"], consts["ky_col"],
+            consts["dx_row"], consts["dy_col"],
+            consts["k2x_row"], consts["k2y_col"],
+            consts["ik2"],
+            *([jnp.asarray(fr_np), jnp.asarray(fi_np)] if dense_forcing else []),
             *[jnp.asarray(a) for a in mats],
+            *[jnp.asarray(a) for a in split_mats],
         )
+        if fields_out:
+            u, v, p = snaps
+            snaps = jnp.stack([u, v, p], axis=-1)  # (B, S, n, n, 3)
+            if cfg.include_initial:
+                def init_fields(w):
+                    f = solver.fields_from_vorticity(w)
+                    return jnp.stack([f["u"], f["v"], f["p"]], axis=-1)
+
+                f0 = jax.vmap(init_fields)(w0f).astype(jnp.float32)
+                snaps = jnp.concatenate([f0[:, None], snaps], axis=1)
+            return snaps
         if cfg.include_initial:
             snaps = jnp.concatenate([w0f[:, None], snaps], axis=1)
         return snaps
@@ -493,7 +867,8 @@ def build_batched_traj(solver, inner_steps: int | None = None,
 
 
 def build_sharded_traj(solver, mesh, inner_steps: int | None = None,
-                       precision: str = "fast", axis: str = "data"):
+                       precision: str = "fast", axis: str = "data",
+                       output: str = "vorticity"):
     """Pod-scale variant: the batch axis is sharded over ``mesh[axis]`` and
     each device runs the fused kernel on its local shard (`shard_map`; no
     collectives — trajectories are independent, the reference's
@@ -502,10 +877,10 @@ def build_sharded_traj(solver, mesh, inner_steps: int | None = None,
     ``traj(w0:(B,n,n), nu:(B,), inner_steps scalar) -> (B,T,n,n)`` with
     B divisible by the axis size.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    local = build_batched_traj(solver, inner_steps, precision)
+    local = build_batched_traj(solver, inner_steps, precision, output=output)
 
     def _local(w0, nu, inner):
         return local(w0, nu, inner[0])
@@ -515,7 +890,7 @@ def build_sharded_traj(solver, mesh, inner_steps: int | None = None,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P()),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
 
     def traj(w0, nu=None, inner_steps_v=None):

@@ -1,123 +1,252 @@
 """External-benchmark dataset loaders (Poseidon benchmark suite).
 
 One registry-driven loader replacing the reference's 21 hand-written classes
-(`CNO_Experiments/DataLoaders/CNO_TimeLoaders.py:252-1748`) and the scOT
-problem modules (`Poseidon_mixing_Exp/scOT/problems/`): every dataset is an
-HDF5(-based netCDF) file with per-trajectory keys ``sample_<i>`` of shape
-(T, C, H, W); the per-dataset constants (file name, N_max/N_val/N_test, channel
-count, z-score mean/std, time normalizer) live in BENCHMARK_REGISTRY with
-values transcribed from the reference classes (cited per entry).
+(`CNO_Experiments/DataLoaders/CNO_TimeLoaders.py:250-1748`) and the scOT
+problem modules (`Poseidon_mixing_Exp/scOT/problems/`). Each registry entry
+carries the *exact* reference container format and constants:
+
+- ``kind="h5_sample"`` — HDF5 with per-trajectory keys ``sample_<i>`` of
+  shape (T, C, H, W) (`CNO_TimeLoaders.py:264,292-300` and the other
+  incompressible-NS classes; also ``pwc_tracer`` `:1694-1748`).
+- ``kind="shear"`` — the multi-file shear layer: 4 HDF5 files
+  ``data_ns/N{res}_{1..4}.nc``; train reads file ``i // 10000``, val/test the
+  4th; at res 128 indices are offset by 10000; frames are stored transposed
+  (axes (0,2,1)) (`:625-719`).
+- ``kind="nc_data"`` — netCDF variable ``data`` indexed ``[i, t, :4]``
+  (compressible Euler: KH/Riemann/RiemannCurved/EulerGauss/RiemannKH,
+  `:738-744,762-770` ff.).
+- ``kind="nc_solution"`` — netCDF variable ``solution``: Allen-Cahn
+  ``[i, t]`` (`:1258-1311`), Richtmyer-Meshkov ``[i, t, 0:4]`` (+ tracer
+  channel 4, `:1040-1130`), Rayleigh-Taylor ``[i, t, 0:4]`` + gravity
+  channel 5 (+ tracer 4) (`:1134-1250`).
+- ``kind="wave"`` — HDF5 datasets ``solution`` (N, T, H, W) and per-traj
+  wave speed ``c`` (N, H, W); c is normalized separately and appended to
+  input AND label (`:1467-1609`).
+- ``kind="kolmogorov"`` — HDF5 ``solution[i, t, 0:2]`` plus the analytic
+  forcing channel 0.1·sin(2π(x+y))/0.0707 appended to input and label
+  (`:1615-1688`).
+- ``kind="poisson"`` — netCDF variables ``source`` (input) / ``solution``
+  (label) with *separate* normalization constants (`:1320-1355`); file
+  ``poisson_equation/gaussians.nc`` (`:1362-1367`).
+- ``kind="helmholtz"`` — HDF5 groups ``Sample_<i>`` with datasets ``a``
+  (input, shifted by −1), scalar ``bc`` (broadcast to a channel), ``u``
+  (label) (`:1374-1410`).
+- ``kind="airfoil"`` — HDF5 ``solution[idx, 0]`` → input (NOT normalized),
+  ``solution[idx, 1]`` → normalized label (`:1416-1462`).
+
+netCDF reading: this environment has no `netCDF4` module. Poseidon's .nc
+files are netCDF-4 (= HDF5 containers), which h5py opens directly; classic
+netCDF-3 falls back to `scipy.io.netcdf_file`. `_open_var` sniffs the magic
+bytes and returns an indexable variable either way.
+
+The ``masked_input`` option (`CNO_TimeLoaders.py:302-310,48-52`): 2-channel
+incompressible-NS datasets are lifted to the 4-channel compressible layout
+[ρ≡1, u, v, p≡0] with the compressible constants, and samples carry the
+caller's mask tensor — the reference uses this to fine-tune
+compressible-pretrained models on incompressible data.
 
 Sample layout matches the unified time-pair scheme (`training.datasets`):
-(time, input NHWC [+time channel], label NHWC). Steady problems (Poisson,
-Helmholtz, Airfoil) get constant time = 1 (≡ `TimeWrapper`,
-`scOT/problems/base.py:395-418`).
+(time, input NHWC [+time channel], label NHWC) — NHWC here (TPU lane dim),
+vs the reference's CHW. Steady problems return constant time = 1
+(≡ `TimeWrapper`, `scOT/problems/base.py:395-418`); Poisson and Helmholtz
+never append a time channel (their reference classes don't, `:1340-1355,
+1390-1410`), Airfoil does when ``time_input`` (`:1444-1459`).
 
-These loaders require the benchmark files on disk (not downloadable in this
-environment); the machinery itself is tested against synthetic HDF5 fixtures.
+These loaders require the benchmark files on disk (not downloadable here);
+the machinery is tested against synthetic fixtures in every container
+format, and `tests/test_benchmark_datasets.py` pins every registry entry's
+constants against a table transcribed independently from the reference.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
+from pathlib import Path
 from typing import Sequence
 
 import numpy as np
 
 from pregen_pde_tpu.training.datasets import TimePairConfig, build_time_indices
 
-# family-level z-score constants (reference `CNO_TimeLoaders.py:565-569` for
-# incompressible NS, `:741-742` ff. for compressible Euler)
+# family-level z-score constants
+# incompressible NS (`CNO_TimeLoaders.py:267-268` etc.)
 _NS_MEAN, _NS_STD = (0.0, 0.0), (0.391, 0.356)
+# compressible Euler std (`:746-747`)
 _EUL_STD = (0.31, 0.391, 0.356, 0.185)
+# masked-input (incompressible-as-compressible) constants (`:269-271`)
+MASKED_NS_MEAN = (0.80, 0.0, 0.0, 0.0)
+MASKED_NS_STD = (0.31, 0.391, 0.356, 0.46)
 
 
 @dataclasses.dataclass(frozen=True)
 class BenchmarkSpec:
     filename: str
+    kind: str
     n_max: int
     n_val: int
     n_test: int
-    channels: int
+    channels: int  # physical channels READ from the file
     mean: Sequence[float]
     std: Sequence[float]
     time_normalizer: float = 20.0
     time_dependent: bool = True
-    max_time: int = 20  # frames available per trajectory − 1
+    max_time: int = 20  # max t index (frames per trajectory − 1)
+    # kind-specific auxiliary constants:
+    aux_mean: float | None = None  # wave c / RT gravity
+    aux_std: float | None = None
+    tracer_mean: float | None = None
+    tracer_std: float | None = None
+    has_tracer: bool = False
 
 
 # name → spec; reference class + line cited per entry
 BENCHMARK_REGISTRY: dict[str, BenchmarkSpec] = {
-    # incompressible NS family (`CNO_TimeLoaders.py:252-622`)
-    "ns_brownian": BenchmarkSpec("bm.nc", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
-    "ns_vortex": BenchmarkSpec("vortex_sheet.nc", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
-    "ns_sines": BenchmarkSpec("sin.nc", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
-    "ns_pwc": BenchmarkSpec("pwc.nc", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
-    "ns_gauss": BenchmarkSpec("gauss.nc", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
-    "ns_shear": BenchmarkSpec("data_ns/N128_1.nc", 40000, 40, 240, 2, _NS_MEAN, _NS_STD),
+    # incompressible NS family, h5 sample_<i> (`CNO_TimeLoaders.py:250-622`)
+    "ns_brownian": BenchmarkSpec("bm.nc", "h5_sample", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
+    "ns_vortex": BenchmarkSpec("vortex_sheet.nc", "h5_sample", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
+    "ns_sines": BenchmarkSpec("sin.nc", "h5_sample", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
+    "ns_pwc": BenchmarkSpec("pwc.nc", "h5_sample", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
+    "ns_gauss": BenchmarkSpec("gauss.nc", "h5_sample", 20000, 40, 240, 2, _NS_MEAN, _NS_STD),
+    # multi-file complicated shear layer (`:625-719`)
+    "ns_shear": BenchmarkSpec("data_ns", "shear", 40000, 40, 240, 2, _NS_MEAN, _NS_STD),
     "ns_pwc_tracer": BenchmarkSpec(  # `:1694-1748`
-        "pwc_tracer.nc", 20000, 40, 240, 3, (0.0, 0.0, 0.19586183),
-        (0.391, 0.356, 0.37),
+        "pwc_tracer.nc", "h5_sample", 20000, 40, 240, 3,
+        (0.0, 0.0, 0.19586183), (0.391, 0.356, 0.37),
     ),
-    "kolmogorov": BenchmarkSpec(  # `:1615-1694`; scOT `fluids/incompressible.py:293`
-        "incompressible_fluids/forcing/kolmogorov_pwc.nc", 20000, 60, 240, 2,
-        (0.0, 0.0), (0.22, 0.22),
+    "kolmogorov": BenchmarkSpec(  # `:1615-1688`
+        "incompressible_fluids/forcing/kolmogorov_pwc.nc", "kolmogorov",
+        20000, 60, 240, 2, (0.0, 0.0), (0.22, 0.22),
     ),
-    # compressible Euler family (`CNO_TimeLoaders.py:724-1034`)
-    "eul_kh": BenchmarkSpec("kh.nc", 10000, 40, 240, 4, (0.80, 0.0, 0.0, 1.0), _EUL_STD),
-    "eul_riemann": BenchmarkSpec(
-        "riemann.nc", 10000, 40, 240, 4, (0.80, 0.0, 0.0, 0.215), _EUL_STD
+    # compressible Euler family, nc variable "data" (`:724-1030`)
+    "eul_kh": BenchmarkSpec(  # `:738-748`
+        "kh.nc", "nc_data", 10000, 40, 240, 4, (0.80, 0.0, 0.0, 1.0), _EUL_STD
     ),
-    "eul_riemann_curved": BenchmarkSpec(
-        "riemann_curved.nc", 10000, 40, 240, 4, (0.80, 0.0, 0.0, 0.553), _EUL_STD
+    "eul_riemann": BenchmarkSpec(  # `:798-805`
+        "riemann.nc", "nc_data", 10000, 40, 240, 4, (0.80, 0.0, 0.0, 0.215), _EUL_STD
     ),
-    "eul_gauss": BenchmarkSpec(
-        "gauss.nc", 10000, 40, 240, 4, (0.80, 0.0, 0.0, 2.513), _EUL_STD
+    "eul_riemann_curved": BenchmarkSpec(  # `:858-866`
+        "riemann_curved.nc", "nc_data", 10000, 40, 240, 4,
+        (0.80, 0.0, 0.0, 0.553), _EUL_STD,
     ),
-    "eul_riemann_kh": BenchmarkSpec(
-        "riemann_kh.nc", 10000, 40, 240, 4, (0.80, 0.0, 0.0, 1.33), _EUL_STD
+    "eul_gauss": BenchmarkSpec(  # `:919-927`
+        "gauss.nc", "nc_data", 10000, 40, 240, 4, (0.80, 0.0, 0.0, 2.513), _EUL_STD
     ),
-    "richtmyer_meshkov": BenchmarkSpec(  # `:1034-1134`
-        "richtmyer_meshkov.nc", 1260, 100, 130, 4, (1.25, 0.0, 0.0, 15.0),
-        (6.9, 0.45, 0.45, 9.8),
+    "eul_riemann_kh": BenchmarkSpec(  # `:979-987`
+        "riemann_kh.nc", "nc_data", 10000, 40, 240, 4,
+        (0.80, 0.0, 0.0, 1.33), _EUL_STD,
     ),
-    "rayleigh_taylor": BenchmarkSpec(  # `:1134-1255`
-        "rayleigh_taylor.nc", 1260, 100, 130, 4, (0.8, 0.0, 0.0, 0.0),
-        (0.31, 0.391, 0.356, 0.46), max_time=10,
+    # Richtmyer-Meshkov, nc variable "solution" (`:1040-1074`); NOTE the
+    # reference does NOT normalize the tracer channel here (`:1100-1121` —
+    # constants exist but are never applied); replicated as-is.
+    "richtmyer_meshkov": BenchmarkSpec(
+        "richtmyer_meshkov.nc", "nc_solution", 1260, 100, 130, 4,
+        (1.1964245, -7.164812e-06, 2.8968952e-06, 1.5648036),
+        (0.5543239, 0.24304213, 0.2430597, 0.89639103),
+        tracer_mean=1.3658239, tracer_std=0.46400866, has_tracer=True,
     ),
-    # reaction-diffusion (`:1255-1317`)
+    # Rayleigh-Taylor, 5-channel [ρ,u,v,p]+g (+tracer), time normalizer 10
+    # (`:1134-1167,1196-1242`)
+    "rayleigh_taylor": BenchmarkSpec(
+        "rayleigh_taylor.nc", "nc_solution", 1260, 100, 130, 4,
+        (0.8970493, 4.0316996e-13, -1.3858967e-13, 0.7133829),
+        (0.12857835, 0.014896976, 0.014896975, 0.21293919),
+        time_normalizer=10.0, max_time=10,
+        aux_mean=-1.7055787, aux_std=0.40131348,
+        tracer_mean=1.8061695, tracer_std=0.37115487, has_tracer=True,
+    ),
+    # reaction-diffusion, nc "solution", time normalizer 19 (`:1258-1291`)
     "allen_cahn": BenchmarkSpec(
-        "reaction_diffusion/allen_cahn.nc", 15000, 60, 240, 1,
-        (0.002484262,), (0.65351176,), max_time=19,
+        "reaction_diffusion/allen_cahn.nc", "nc_solution", 15000, 60, 240, 1,
+        (0.002484262,), (0.65351176,), time_normalizer=19.0, max_time=19,
     ),
-    # wave (`:1467-1615`)
+    # wave equation, h5 solution + c (`:1467-1491,1539-1560`)
     "wave_seismic": BenchmarkSpec(
-        "wave_equation/seismic_20step.nc", 10512, 60, 240, 1,
+        "wave_equation/seismic_20step.nc", "wave", 10512, 60, 240, 1,
         (0.03467443221585092,), (0.10442421752963911,),
+        aux_mean=3498.5644380917424, aux_std=647.843958567462,
     ),
     "wave_gauss": BenchmarkSpec(
-        "wave_equation/gaussians_15step.nc", 10512, 60, 240, 1,
-        (0.0334376316,), (0.1171879068,), max_time=15,
+        "wave_equation/gaussians_15step.nc", "wave", 10512, 60, 240, 1,
+        (0.0334376316,), (0.1171879068,),
+        aux_mean=2618.4593933, aux_std=601.51658913,
+        time_normalizer=15.0, max_time=15,
     ),
-    # steady problems (`:1317-1467`)
+    # steady problems (`:1320-1462`)
     "poisson_gauss": BenchmarkSpec(
-        "elliptic/poisson_gauss.nc", 20000, 120, 240, 1, (0.0,), (1.0,),
+        "poisson_equation/gaussians.nc", "poisson", 20000, 120, 240, 1,
+        (0.014822142414492256,), (4.755138816607612,),  # SOURCE constants
         time_dependent=False,
+        # solution constants (`:1327-1332`)
+        aux_mean=0.0005603458434937093, aux_std=0.02401226126952699,
     ),
     "helmholtz": BenchmarkSpec(
-        "elliptic/helmholtz.nc", 19675, 128, 512, 1,
+        "helmholtz/HelmotzData_VaryingBC02501_2to8bumbs_w5over2pi_processed.h5",
+        "helmholtz", 19675, 128, 512, 1,
         (0.11523915668552,), (0.8279975746000605,), time_dependent=False,
     ),
     "airfoil": BenchmarkSpec(
-        "compressible_flow/steady/airfoil.nc", 10869, 60, 240, 1, (0.92984116,),
-        (0.10864315,), time_dependent=False,
+        "compressible_flow/steady/airfoil.nc", "airfoil", 10869, 60, 240, 1,
+        (0.92984116,), (0.10864315,), time_dependent=False,
     ),
 }
 
 
+def _open_container(path):
+    """HDF5 (netCDF-4) via h5py; classic netCDF-3 via scipy. Returns an
+    object supporting ``obj[name]`` → indexable dataset/variable."""
+    import h5py
+
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"\x89HDF"):
+        return h5py.File(path, "r")
+    if magic.startswith(b"CDF"):
+        from scipy.io import netcdf_file
+
+        f = netcdf_file(path, "r", mmap=True)
+        return _ScipyNCAdapter(f)
+    raise ValueError(f"{path}: neither HDF5 nor classic netCDF (magic {magic!r})")
+
+
+class _ScipyNCAdapter:
+    """Dict-like view over scipy's netcdf_file variables (copy-on-read to
+    detach from the mmap)."""
+
+    def __init__(self, f):
+        self._f = f
+
+    def __getitem__(self, name):
+        return _CopyingVar(self._f.variables[name])
+
+    def __contains__(self, name):
+        return name in self._f.variables
+
+    def keys(self):
+        return self._f.variables.keys()
+
+
+class _CopyingVar:
+    def __init__(self, var):
+        self._var = var
+
+    @property
+    def shape(self):
+        return self._var.shape
+
+    def __getitem__(self, idx):
+        return np.array(self._var[idx])
+
+
 class BenchmarkTimeDataset:
     """Generic loader over one registry entry. Interface-compatible with
-    `TimePairDataset` (usable with BatchLoader / Trainer / rollout eval)."""
+    `TimePairDataset` (usable with BatchLoader / Trainer / rollout eval).
+
+    ``tracer=True`` appends the tracer channel for RM/RT (≡ the classes'
+    ``tracer`` kwarg / the ``.tracer`` dataset-name modifier,
+    `scOT/problems/base.py:44,109-117`). ``masked_input`` lifts 2-channel
+    NS data to the 4-channel compressible layout and makes samples 4-tuples
+    ``(time, input, label, mask)`` (`CNO_TimeLoaders.py:48-52,302-310`)."""
 
     def __init__(
         self,
@@ -126,13 +255,24 @@ class BenchmarkTimeDataset:
         which: str = "train",
         num_trajectories: int | None = None,
         cfg: TimePairConfig | None = None,
+        tracer: bool = False,
+        masked_input: Sequence[float] | None = None,
+        resolution: int | None = None,
     ):
-        import h5py
-        from pathlib import Path
-
         spec = BENCHMARK_REGISTRY[name]
         self.spec = spec
         self.name = name
+        self.tracer = tracer and spec.has_tracer
+        if tracer and not spec.has_tracer:
+            raise ValueError(f"{name} has no tracer channel")
+        self.masked_input = None
+        if masked_input is not None:
+            if spec.kind not in ("h5_sample", "shear") or spec.channels != 2:
+                raise ValueError(
+                    "masked_input is only defined for 2-channel "
+                    "incompressible-NS datasets (CNO_TimeLoaders.py:302-310)"
+                )
+            self.masked_input = np.asarray(masked_input, np.float32)
         self.cfg = cfg or TimePairConfig(
             max_num_time_steps=spec.max_time if spec.time_dependent else 1,
             time_step_size=1,
@@ -140,12 +280,33 @@ class BenchmarkTimeDataset:
             n_val=spec.n_val,
             n_test=spec.n_test,
         )
-        self.reader = h5py.File(Path(data_path) / spec.filename, "r")
-        first = self.reader["sample_0"][:]
-        self.resolution = first.shape[-1]
-        self.out_channels = spec.channels
-        self.mean = np.asarray(spec.mean, np.float32)
-        self.std = np.asarray(spec.std, np.float32)
+
+        root = Path(data_path)
+        if spec.kind == "shear":
+            res = resolution or 128
+            if res not in (64, 128):
+                raise ValueError("shear layer resolution must be 64 or 128")
+            self._shear_res = res
+            self.readers = [
+                _open_container(root / spec.filename / f"N{res}_{k}.nc")
+                for k in (1, 2, 3, 4)
+            ]
+            first = np.asarray(self.readers[0]["sample_0"])
+        else:
+            self.reader = _open_container(root / spec.filename)
+            if spec.kind == "h5_sample":
+                first = np.asarray(self.reader["sample_0"])
+            elif spec.kind == "nc_data":
+                first = self.reader["data"]
+            elif spec.kind in ("nc_solution", "kolmogorov", "wave", "airfoil"):
+                first = self.reader["solution"]
+            elif spec.kind == "poisson":
+                first = self.reader["source"]
+            elif spec.kind == "helmholtz":
+                first = np.asarray(self.reader["Sample_0"]["a"])
+            else:
+                raise ValueError(spec.kind)
+        self.resolution = resolution or int(np.asarray(first.shape)[-1])
 
         if spec.time_dependent:
             self.time_indices = build_time_indices(self.cfg)
@@ -154,13 +315,15 @@ class BenchmarkTimeDataset:
             self.time_indices = [(0, 1)]
             self.multiplier = 1
 
-        n_max = min(spec.n_max, _count_samples(self.reader))
+        n_avail = self._available_samples()
+        n_max = min(spec.n_max, n_avail)
         n_val, n_test = self.cfg.n_val, self.cfg.n_test
         if n_max < n_val + n_test + 1:
             raise ValueError(
                 f"{name}: file has {n_max} samples but the split needs "
                 f"n_val({n_val}) + n_test({n_test}) + >=1 train"
             )
+        self.which = which
         if which == "train":
             avail = n_max - n_val - n_test
             n = num_trajectories if num_trajectories is not None else avail
@@ -178,45 +341,217 @@ class BenchmarkTimeDataset:
         else:
             self.start, self.n_traj = n_max - n_test, n_test
 
+        self.mean = np.asarray(spec.mean, np.float32)
+        self.std = np.asarray(spec.std, np.float32)
+        if self.masked_input is not None:
+            self.mean = np.asarray(MASKED_NS_MEAN, np.float32)
+            self.std = np.asarray(MASKED_NS_STD, np.float32)
+
+    # -- channel bookkeeping -------------------------------------------------
+
+    @property
+    def out_channels(self) -> int:
+        spec = self.spec
+        if self.masked_input is not None:
+            return 4
+        if spec.kind == "nc_solution" and spec.aux_mean is not None:  # RT: +g
+            return spec.channels + int(self.tracer) + 1
+        if spec.kind == "nc_solution" and spec.has_tracer:  # RM
+            return spec.channels + int(self.tracer)
+        if spec.kind == "wave":  # label carries the c channel too
+            return 2
+        if spec.kind == "kolmogorov":  # label carries the forcing channel
+            return 3
+        return spec.channels
+
     @property
     def in_channels(self) -> int:
-        return self.spec.channels + int(self.cfg.time_input)
+        spec = self.spec
+        base = self.out_channels
+        if spec.kind == "helmholtz":
+            base = 2  # [a-1, bc]
+        time_ch = int(self.cfg.time_input)
+        if spec.kind in ("poisson", "helmholtz"):
+            time_ch = 0  # reference steady classes never append one
+        return base + time_ch
+
+    # -- reads ---------------------------------------------------------------
+
+    def _available_samples(self) -> int:
+        spec = self.spec
+        if spec.kind == "h5_sample":
+            n = 0
+            while f"sample_{n}" in self.reader:
+                n += 1
+            return n
+        if spec.kind == "shear":
+            n = 0
+            while f"sample_{n}" in self.readers[0]:
+                n += 1
+            return n * 4
+        if spec.kind == "helmholtz":
+            n = 0
+            while f"Sample_{n}" in self.reader:
+                n += 1
+            return n
+        if spec.kind == "poisson":
+            return int(self.reader["source"].shape[0])
+        if spec.kind == "nc_data":
+            return int(self.reader["data"].shape[0])
+        return int(self.reader["solution"].shape[0])
+
+    def _frame_pair(self, i: int, t1: int, t2: int):
+        """Read CHW input/label frames per the spec's kind (pre-norm)."""
+        spec = self.spec
+        r = self.resolution
+
+        if spec.kind == "h5_sample":
+            sample = np.asarray(self.reader[f"sample_{i + self.start}"])
+            inp = sample[t1].reshape(spec.channels, r, r)
+            lab = sample[t2].reshape(spec.channels, r, r)
+            return inp, lab
+        if spec.kind == "shear":
+            # train: file i//10000; val/test: 4th file; res-128 indices are
+            # offset by 10000; frames stored transposed (`:682-719`)
+            i_fix = i + 10000 if self._shear_res == 128 else i
+            which_reader = (i // 10000) if self.which == "train" else 3
+            sample = np.asarray(
+                self.readers[which_reader][f"sample_{i_fix + self.start}"]
+            )
+            inp = np.transpose(sample[t1], (0, 2, 1)).reshape(2, r, r)
+            lab = np.transpose(sample[t2], (0, 2, 1)).reshape(2, r, r)
+            return inp, lab
+        if spec.kind == "nc_data":
+            var = self.reader["data"]
+            inp = np.asarray(var[i + self.start, t1, :4]).reshape(4, r, r)
+            lab = np.asarray(var[i + self.start, t2, :4]).reshape(4, r, r)
+            return inp, lab
+        if spec.kind == "nc_solution":
+            var = self.reader["solution"]
+            if spec.channels == 1:  # allen_cahn
+                inp = np.asarray(var[i + self.start, t1]).reshape(1, r, r)
+                lab = np.asarray(var[i + self.start, t2]).reshape(1, r, r)
+            else:  # RM / RT read the first 4 channels here
+                inp = np.asarray(var[i + self.start, t1, 0:4]).reshape(4, r, r)
+                lab = np.asarray(var[i + self.start, t2, 0:4]).reshape(4, r, r)
+            return inp, lab
+        if spec.kind == "wave":
+            var = self.reader["solution"]
+            inp = np.asarray(var[i + self.start, t1]).reshape(1, r, r)
+            lab = np.asarray(var[i + self.start, t2]).reshape(1, r, r)
+            return inp, lab
+        if spec.kind == "kolmogorov":
+            var = self.reader["solution"]
+            inp = np.asarray(var[i + self.start, t1, 0:2]).reshape(2, r, r)
+            lab = np.asarray(var[i + self.start, t2, 0:2]).reshape(2, r, r)
+            return inp, lab
+        raise ValueError(spec.kind)
+
+    def _kolmogorov_forcing(self):
+        # 0.1·sin(2π(x+y)) / 0.0707 on an (r, r) ij-meshgrid (`:1642-1650`)
+        r = self.resolution
+        x = np.linspace(0.0, 1.0, r, dtype=np.float32)
+        xx, yy = np.meshgrid(x, x, indexing="ij")
+        return (0.1 * np.sin(2.0 * np.pi * (xx + yy)) / 0.0707)[None].astype(
+            np.float32
+        )
 
     def __len__(self):
         return self.n_traj * self.multiplier
 
     def __getitem__(self, idx: int):
-        i = idx // self.multiplier
-        t1, t2 = self.time_indices[idx % self.multiplier]
         spec = self.spec
-        sample = self.reader[f"sample_{i + self.start}"]
-        if spec.time_dependent:
-            inp = np.asarray(sample[t1], np.float32)
-            lab = np.asarray(sample[t2], np.float32)
-            time = (t2 - t1) / spec.time_normalizer
-        else:
-            arr = np.asarray(sample[:], np.float32)
-            # steady layout: [coefficient/input, solution]
-            inp, lab = arr[0:1], arr[1:2]
-            time = 1.0
-        inp = inp.reshape(spec.channels, self.resolution, self.resolution)
-        lab = lab.reshape(spec.channels, self.resolution, self.resolution)
-        # CHW → HWC, z-score
-        inp = np.moveaxis(inp, 0, -1)
-        lab = np.moveaxis(lab, 0, -1)
-        inp = (inp - self.mean) / self.std
-        lab = (lab - self.mean) / self.std
-        if self.cfg.time_input:
-            tch = np.full((self.resolution, self.resolution, 1), time, np.float32)
+        r = self.resolution
+        i = idx // self.multiplier
+
+        # ---- steady problems -------------------------------------------------
+        if not spec.time_dependent:
+            j = i + self.start
+            if spec.kind == "poisson":
+                src = np.asarray(self.reader["source"][j], np.float32).reshape(1, r, r)
+                sol = np.asarray(self.reader["solution"][j], np.float32).reshape(1, r, r)
+                inp = (src - self.mean[0]) / self.std[0]
+                lab = (sol - spec.aux_mean) / spec.aux_std
+                return self._emit(1.0, inp, lab, time_channel=False)
+            if spec.kind == "helmholtz":
+                g = self.reader[f"Sample_{j}"]
+                a = np.asarray(g["a"], np.float32).reshape(1, r, r) - 1.0
+                bc = float(np.array(g["bc"]))
+                inp = np.concatenate([a, np.full((1, r, r), bc, np.float32)], 0)
+                u = np.asarray(g["u"], np.float32).reshape(1, r, r)
+                lab = (u - self.mean[0]) / self.std[0]
+                return self._emit(1.0, inp, lab, time_channel=False)
+            if spec.kind == "airfoil":
+                var = self.reader["solution"]
+                inp = np.asarray(var[j, 0], np.float32).reshape(1, r, r)  # NOT normed
+                lab = (np.asarray(var[j, 1], np.float32).reshape(1, r, r)
+                       - self.mean[0]) / self.std[0]
+                return self._emit(1.0, inp, lab, time_channel=True)
+            raise ValueError(spec.kind)
+
+        # ---- time-dependent --------------------------------------------------
+        t1, t2 = self.time_indices[idx % self.multiplier]
+        time = (t2 - t1) / spec.time_normalizer
+        inp, lab = self._frame_pair(i, t1, t2)
+        inp = inp.astype(np.float32)
+        lab = lab.astype(np.float32)
+
+        if self.masked_input is not None:
+            ones = np.ones((1, r, r), np.float32)
+            zeros = np.zeros((1, r, r), np.float32)
+            inp = np.concatenate([ones, inp, zeros], 0)
+            lab = np.concatenate([ones, lab, zeros], 0)
+
+        mean = self.mean[:, None, None]
+        std = self.std[:, None, None]
+        inp = (inp - mean) / std
+        lab = (lab - mean) / std
+
+        j = i + self.start
+        if spec.kind == "nc_solution" and spec.has_tracer:
+            var = self.reader["solution"]
+            if spec.aux_mean is not None:  # Rayleigh-Taylor: tracer normed, +g
+                if self.tracer:
+                    tr1 = np.asarray(var[j, t1, 4:5], np.float32).reshape(1, r, r)
+                    tr2 = np.asarray(var[j, t2, 4:5], np.float32).reshape(1, r, r)
+                    tr1 = (tr1 - spec.tracer_mean) / spec.tracer_std
+                    tr2 = (tr2 - spec.tracer_mean) / spec.tracer_std
+                    inp = np.concatenate([inp, tr1], 0)
+                    lab = np.concatenate([lab, tr2], 0)
+                g1 = np.asarray(var[j, t1, 5:6], np.float32).reshape(1, r, r)
+                g2 = np.asarray(var[j, t2, 5:6], np.float32).reshape(1, r, r)
+                g1 = (g1 - spec.aux_mean) / spec.aux_std
+                g2 = (g2 - spec.aux_mean) / spec.aux_std
+                inp = np.concatenate([inp, g1], 0)
+                lab = np.concatenate([lab, g2], 0)
+            elif self.tracer:  # Richtmyer-Meshkov: tracer appended UNNORMALIZED
+                tr1 = np.asarray(var[j, t1, 4:5], np.float32).reshape(1, r, r)
+                tr2 = np.asarray(var[j, t2, 4:5], np.float32).reshape(1, r, r)
+                inp = np.concatenate([inp, tr1], 0)
+                lab = np.concatenate([lab, tr2], 0)
+        elif spec.kind == "wave":
+            c = np.asarray(self.reader["c"][j], np.float32).reshape(1, r, r)
+            c = (c - spec.aux_mean) / spec.aux_std
+            inp = np.concatenate([inp, c], 0)
+            lab = np.concatenate([lab, c], 0)
+        elif spec.kind == "kolmogorov":
+            f = self._kolmogorov_forcing()
+            inp = np.concatenate([inp, f], 0)
+            lab = np.concatenate([lab, f], 0)
+
+        return self._emit(time, inp, lab, time_channel=True)
+
+    def _emit(self, time, inp_chw, lab_chw, time_channel: bool):
+        """CHW → HWC; append time channel; attach mask for masked_input."""
+        r = self.resolution
+        inp = np.moveaxis(inp_chw.astype(np.float32), 0, -1)
+        lab = np.moveaxis(lab_chw.astype(np.float32), 0, -1)
+        if time_channel and self.cfg.time_input:
+            tch = np.full((r, r, 1), time, np.float32)
             inp = np.concatenate([inp, tch], axis=-1)
+        if self.masked_input is not None:
+            return np.float32(time), inp, lab, self.masked_input
         return np.float32(time), inp, lab
-
-
-def _count_samples(reader) -> int:
-    n = 0
-    while f"sample_{n}" in reader:
-        n += 1
-    return n
 
 
 # sample caps per family (`DataLoaders/load_utils.py:13-20`)
@@ -233,7 +568,8 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
     `scOT/problems/base.py get_dataset :17-183`. `ns_custom` loads the
     framework's own generated npy contract. Name modifiers follow the
     reference: a trailing ``.out`` selects the longer out-of-distribution
-    rollout horizon on the same file; ``.time`` marks a steady problem as
+    rollout horizon on the same file; ``.tracer`` appends the tracer channel
+    (RM/RT, `base.py:44,109-117`); ``.time`` marks a steady problem as
     time-wrapped (built in here — steady specs already emit constant time=1);
     a list of names concatenates datasets."""
     if isinstance(name, (list, tuple)):
@@ -243,11 +579,14 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
 
     base = name
     out_mode = False
-    for _ in range(2):  # modifiers compose in either order
+    for _ in range(3):  # modifiers compose in any order
         if base.endswith(".out"):
             base, out_mode = base[: -len(".out")], True
         if base.endswith(".time"):
             base = base[: -len(".time")]  # TimeWrapper semantics are built in
+        if base.endswith(".tracer"):
+            base = base[: -len(".tracer")]
+            kw["tracer"] = True
 
     def out_cfg(max_t, n_val, n_test):
         step = _OUT_TIME_SETTINGS["time_step_size"]
@@ -264,6 +603,7 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
     if base == "ns_custom":
         from pregen_pde_tpu.training.datasets import TimePairDataset
 
+        kw.pop("tracer", None)
         data = np.load(data_path, mmap_mode="r")
         cfg = kw.pop("cfg", None)
         if cfg is None and out_mode:  # clamp to the file's actual frames

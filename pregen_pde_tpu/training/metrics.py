@@ -28,7 +28,14 @@ def relative_lp_error(
 
 
 def error_summary(pred: np.ndarray, target: np.ndarray, p: int = 1) -> dict:
-    rel = relative_lp_error(pred, target, p)
+    return summarize_rel_errors(relative_lp_error(pred, target, p))
+
+
+def summarize_rel_errors(rel: np.ndarray) -> dict:
+    """Summary stats over per-sample relative errors (already in %). Lets
+    evaluation STREAM batches — only the (B,) per-sample scalars are kept per
+    batch, never the full prediction fields (`Trainer.evaluate`)."""
+    rel = np.asarray(rel)
     return {
         "median_rel_%": float(np.median(rel)),
         "mean_rel_%": float(np.mean(rel)),

@@ -31,7 +31,7 @@ from flax.training import train_state
 
 from pregen_pde_tpu.parallel.meshes import batch_sharding, make_mesh, replicated
 from pregen_pde_tpu.training.losses import relative_lp_loss
-from pregen_pde_tpu.training.metrics import error_summary
+from pregen_pde_tpu.training.metrics import summarize_rel_errors
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,6 +133,17 @@ class Trainer:
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
+        # models with stochastic regularization (scOT drop-path/dropout) take
+        # a `train` flag; detect once and plumb a per-step "dropout" rng —
+        # eval stays deterministic (train defaults to False)
+        import inspect
+
+        try:
+            self._model_takes_train = "train" in inspect.signature(
+                type(model).__call__
+            ).parameters
+        except (TypeError, ValueError):
+            self._model_takes_train = False
         self.loss_fn = loss_fn or (
             lambda pred, lab: relative_lp_loss(pred, lab, p=cfg.loss_p)
         )
@@ -228,8 +239,13 @@ class Trainer:
         full_loss_fn = self.full_loss_fn
         cast = self._cast_compute
         remat = self.cfg.remat
+        takes_train = self._model_takes_train
+        dropout_base = jax.random.key(self.cfg.seed + 1)
 
-        def forward(params, inp, time, apply_fn):
+        def forward(params, inp, time, apply_fn, rng):
+            if takes_train:
+                return apply_fn({"params": cast(params)}, cast(inp), time,
+                                train=True, rngs={"dropout": rng})
             return apply_fn({"params": cast(params)}, cast(inp), time)
 
         if remat:
@@ -250,6 +266,8 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0,), out_shardings=out_sh)
         def train_step(state: TrainState, batch: dict):
+            step_rng = jax.random.fold_in(dropout_base, state.step)
+
             def compute(params):
                 if full_loss_fn is not None:
                     # compute_dtype applies to the params handed to the custom
@@ -257,7 +275,7 @@ class Trainer:
                     # your apply_fn with jax.checkpoint yourself if needed)
                     return full_loss_fn(cast(params), batch)
                 pred = forward(params, batch["input"], batch["time"],
-                               state.apply_fn)
+                               state.apply_fn, step_rng)
                 return loss_fn(pred.astype(jnp.float32), batch["label"])
 
             loss, grads = jax.value_and_grad(compute)(state.params)
@@ -266,11 +284,21 @@ class Trainer:
         return train_step
 
     def _make_eval_step(self):
+        p = self.cfg.loss_p
+
         @jax.jit
         def eval_step(state: TrainState, batch: dict):
-            return state.apply_fn(
+            """→ per-sample relative-Lp errors (%), shape (B,). Reducing on
+            device keeps evaluate() streaming: only B scalars cross the
+            host boundary per batch, never full prediction fields."""
+            pred = state.apply_fn(
                 {"params": state.params}, batch["input"], batch["time"]
-            )
+            ).astype(jnp.float32)
+            lab = batch["label"].astype(jnp.float32)
+            axes = tuple(range(1, pred.ndim))
+            num = (jnp.abs(pred - lab) ** p).sum(axes) ** (1.0 / p)
+            den = (jnp.abs(lab) ** p).sum(axes) ** (1.0 / p) + 1e-10
+            return num / den * 100.0
 
         return eval_step
 
@@ -293,14 +321,14 @@ class Trainer:
         if not hasattr(self, "_eval_step"):
             self._eval_step = self._make_eval_step()
         eval_step = self._eval_step
-        preds, labs = [], []
+        # streamed: only the (B,) per-sample relative errors leave the device
+        # per batch — no host concatenation of prediction fields (survives
+        # the 10k-trajectory sweeps the CLI advertises)
+        rel = []
         for batch in loader:
             sb = self._shard_batch(batch)
-            preds.append(np.asarray(eval_step(self.state, sb)))
-            labs.append(batch["label"])
-        pred = np.concatenate(preds)
-        lab = np.concatenate(labs)
-        return error_summary(pred, lab, p=self.cfg.loss_p)
+            rel.append(np.asarray(eval_step(self.state, sb)))
+        return summarize_rel_errors(np.concatenate(rel))
 
     def fit(self, train_loader, val_loaders: dict[str, Any] | None = None,
             log_fn: Callable[[dict], None] | None = None) -> dict:

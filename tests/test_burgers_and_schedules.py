@@ -54,18 +54,66 @@ def test_burgers_momentum_conserved_and_decay():
     assert energy[-1] < energy[0]
 
 
-def test_re_schedule():
-    re = jnp.asarray([100.0, 2000.0, 5000.0, 10000.0])
-    t = schedules.end_time_from_re(re)
-    np.testing.assert_allclose(np.asarray(t), [100.0, 500.0, 1500.0, 2700.0])
-    # in-between values round UP to next 100
-    t_mid = float(schedules.end_time_from_re(jnp.asarray(3000.0)))
-    assert t_mid % 100 == 0
-    assert 500.0 < t_mid <= 1600.0
-    # monotone
-    res = jnp.linspace(100.0, 10000.0, 50)
-    ts = np.asarray(schedules.end_time_from_re(res))
-    assert np.all(np.diff(ts) >= 0)
+# (Re → endTime) pairs computed from the reference compute_endTime_from_Re
+# (`FPO_cylinder/Regular/main.py:969-998`): endTime = ceil(mult·L²/(Re·ν)/100)·100
+# with L=2, ν=1.5e-5 (L²/ν = 266666.67), first-match-wins band table, and the
+# constant 2700 s for Re ∈ [10, 100).
+REFERENCE_PAIRS = [
+    (50.0, 2700.0),     # const band
+    (100.0, 2700.0),    # mult 1, raw 2666.67
+    (150.0, 1800.0),    # raw 1777.78
+    (199.0, 1400.0),    # raw 1340.03
+    (200.0, 2700.0),    # mult 2 kicks in at the band edge
+    (250.0, 2200.0),
+    (300.0, 2700.0),    # mult 3
+    (350.0, 2300.0),
+    (400.0, 2700.0),    # mult 4
+    (450.0, 2400.0),
+    (500.0, 2700.0),    # mult 5
+    (600.0, 2300.0),
+    (800.0, 1700.0),
+    (1000.0, 2700.0),   # mult 10
+    (2000.0, 1400.0),
+    (2500.0, 2200.0),   # mult 20
+    (3000.0, 1800.0),
+    (4000.0, 2000.0),   # mult 30, raw exactly 2000.0
+    (5000.0, 2200.0),   # mult 40 (boundary takes the upper band, raw 2133.33)
+    (7500.0, 1500.0),
+    (10000.0, 1100.0),
+]
+
+
+def test_re_schedule_pinned_reference_pairs():
+    res = jnp.asarray([p[0] for p in REFERENCE_PAIRS])
+    expected = np.asarray([p[1] for p in REFERENCE_PAIRS])
+    np.testing.assert_allclose(np.asarray(schedules.end_time_from_re(res)), expected)
+    for re, t in REFERENCE_PAIRS:
+        assert schedules.end_time_from_re_py(re) == t
+
+
+def test_re_schedule_dense_sweep_matches_scalar_oracle():
+    res = np.linspace(10.0, 10000.0, 2001)
+    expected = np.asarray([schedules.end_time_from_re_py(r) for r in res])
+    got = np.asarray(schedules.end_time_from_re(jnp.asarray(res)))
+    np.testing.assert_allclose(got, expected)
+    # f32 path agrees too (band-edge ceil guard)
+    got32 = np.asarray(schedules.end_time_from_re(jnp.asarray(res, dtype=jnp.float32)))
+    np.testing.assert_allclose(got32, expected)
+    # envelope facts from the reference law: ≤2700 everywhere, 2700 at low-Re
+    # band edges, decaying toward 1100 at Re=10⁴ — NOT monotone (sawtooth).
+    assert expected.max() == 2700.0
+    assert expected[-1] == 1100.0
+    assert np.any(np.diff(expected) > 0) and np.any(np.diff(expected) < 0)
+
+
+def test_re_schedule_step_counts():
+    # reference Δt = 0.2 s → 5500..13500 icoFoam steps over the full schedule
+    steps = np.asarray(
+        schedules.steps_for_horizon(
+            schedules.end_time_from_re(jnp.asarray([1000.0, 10000.0])), dt=0.2
+        )
+    )
+    np.testing.assert_array_equal(steps, [13500, 5500])
 
 
 def test_re_sampling_and_normalization():

@@ -114,3 +114,43 @@ def test_cno_attention_bottleneck():
     params = model.init(jax.random.key(0), x, t)["params"]
     y = model.apply({"params": params}, x, t)
     assert y.shape == (1, 16, 16, 2)
+
+
+def test_cno_default_norm_is_instance():
+    """Reference training default nl_dim="23" → InstanceNorm
+    (`TrainCNO_time_L.py:57-59`, `CNO_timeModule_CIN.py:51-58`); the model,
+    blocks and FILM must default to it so reference-default configs don't
+    silently train norm-free."""
+    assert CNO.__dataclass_fields__["norm"].default == "instance"
+    assert CNOBlock.__dataclass_fields__["norm"].default == "instance"
+    assert ResidualBlock.__dataclass_fields__["norm"].default == "instance"
+    assert FILM.__dataclass_fields__["norm"].default == "instance"
+    # instance norm actually engages: FILM output is per-(sample, channel)
+    # standardized at init (scale starts at 1, bias at 0)
+    m = FILM(channels=3)
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(2.0, 3.0, size=(2, 8, 8, 3)), jnp.float32
+    )
+    t = jnp.asarray([0.1, 0.9], jnp.float32)
+    y = np.asarray(m.apply(m.init(jax.random.key(0), x, t), x, t))
+    np.testing.assert_allclose(y.mean(axis=(1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.std(axis=(1, 2)), 1.0, atol=1e-2)
+
+
+def test_film_batch_norm_option():
+    """norm="batch" ≡ nl_dim=[0,2,3] (stateless batch-stat variant): output
+    standardized per channel over (batch, H, W)."""
+    m = FILM(channels=3, norm="batch")
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(-1.0, 2.0, size=(4, 8, 8, 3)), jnp.float32
+    )
+    t = jnp.asarray([0.1, 0.2, 0.3, 0.4], jnp.float32)
+    params = m.init(jax.random.key(0), x, t)
+    y = np.asarray(m.apply(params, x, t))
+    np.testing.assert_allclose(y.mean(axis=(0, 1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.std(axis=(0, 1, 2)), 1.0, atol=1e-2)
+    # differentiable end-to-end
+    g = jax.grad(lambda p: float(0) + jnp.mean(m.apply(p, x, t) ** 2))(params)
+    assert all(
+        np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
+    )

@@ -33,7 +33,7 @@ def test_contract_shape_and_channels():
 
 
 def test_difficulty_bucketing():
-    # dt=1.0 so schedule horizons (100..2700) → 25..675 inner steps; tiny GRF
+    # dt=1.0 so schedule horizons (1100..2700) → 275..675 inner steps; tiny GRF
     # amplitude keeps the (deliberately unphysical) big-dt run in the stable
     # linear regime — this test exercises the bucketing machinery, not physics.
     cfg = NSVorticityConfig(

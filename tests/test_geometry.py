@@ -70,3 +70,60 @@ def test_box_mask_traced_args():
         jnp.asarray(4), jnp.asarray(10)
     )
     assert float(m.sum()) == 64.0
+
+
+def test_multi_holes_forced_overlap():
+    """Forced-overlap mode (`Multiple_Hole/main.py:1080-1139`,
+    allow_overlap=True): all holes contain a common central sub-box, so the
+    intersection of every placed hole is non-empty; hole count in [2, 10]."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pregen_pde_tpu.fields.geometry import (
+        box_mask,
+        sample_multi_holes_overlap,
+    )
+
+    n, hole = 128, 16
+    frac = 0.3
+    box = frac * hole
+    c = n / 2.0
+    # the guaranteed common region
+    r = np.arange(n)
+    common = ((r[:, None] >= c - box / 2) & (r[:, None] <= c + box / 2 - 1)
+              & (r[None, :] >= c - box / 2) & (r[None, :] <= c + box / 2 - 1))
+    placed_counts = []
+    for seed in range(8):
+        mask, placed = jax.jit(
+            lambda k: sample_multi_holes_overlap(k, n, hole_cells=hole,
+                                                 overlap_fraction=frac)
+        )(jax.random.key(seed))
+        mask = np.asarray(mask)
+        placed_counts.append(int(placed))
+        assert 2 <= int(placed) <= 10
+        # every cell of the common box is covered (all holes overlap there)
+        assert mask[common].min() == 1.0, seed
+        # total hole area ≤ placed · hole² (strictly less when overlapping),
+        # and ≥ one hole's area
+        area = mask.sum()
+        assert hole * hole <= area <= int(placed) * hole * hole
+    assert len(set(placed_counts)) > 1  # count really varies
+
+    # invalid overlap_fraction rejected like the reference (:1085-1088)
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_multi_holes_overlap(jax.random.key(0), n, overlap_fraction=0.0)
+
+
+def test_masked_ns_config_overlap_pipeline():
+    import jax
+    import numpy as np
+    from pregen_pde_tpu.datagen.masked_ns import MaskedNSConfig, sample_masks
+
+    cfg = MaskedNSConfig(pipeline="fpo_multi_hole", resolution=64,
+                         hole_overlap=True, overlap_fraction=0.4)
+    masks = np.asarray(sample_masks(jax.random.key(0), cfg, 4))
+    assert masks.shape == (4, 64, 64)
+    # all masks have a hole centred region covered
+    assert masks[:, 32, 32].min() == 1.0

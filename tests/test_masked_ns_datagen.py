@@ -10,7 +10,7 @@ from pregen_pde_tpu.datagen.masked_ns import (
 FAST = dict(
     resolution=32, dt=0.05, n_snapshots=3, time_scale=2e-4, cg_iters=60,
 )
-# time_scale 2e-4: horizons 100..2700 s → 0.02..0.54 s → 1..10 steps/snapshot
+# time_scale 2e-4: horizons 1100..2700 s → 0.22..0.54 s → 4..10 steps/snapshot
 
 
 def test_sample_masks_per_pipeline():

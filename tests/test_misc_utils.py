@@ -148,3 +148,41 @@ def test_dump_hlo(tmp_path):
     assert "sine" in txt and (tmp_path / "mod.hlo").exists()
     opt = dump_hlo(f, x, optimized=True)
     assert "fusion" in opt or "sine" in opt
+
+
+def test_multihost_initialize_surfaces_configured_failures(monkeypatch):
+    """`parallel.multihost.initialize` must re-raise real init failures when
+    a coordinator IS configured (a pod job silently degrading to N
+    disconnected single-host runs is the failure mode), while staying a
+    no-op for unconfigured single-process runs."""
+    import pytest
+
+    from pregen_pde_tpu.parallel import multihost
+
+    calls = {}
+
+    def boom(**kw):
+        calls["kw"] = kw
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(multihost.jax.distributed, "initialize", boom)
+    # unconfigured: swallowed (single-host fallback)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    multihost.initialize()  # no raise
+    # configured via kwarg: surfaced
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        multihost.initialize(coordinator_address="10.0.0.1:1234")
+    # configured via env: surfaced
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    with pytest.raises(RuntimeError):
+        multihost.initialize()
+    # "already initialized" stays benign even when configured
+    monkeypatch.setattr(
+        multihost.jax.distributed, "initialize",
+        lambda **kw: (_ for _ in ()).throw(
+            RuntimeError("jax.distributed is already initialized")
+        ),
+    )
+    multihost.initialize(coordinator_address="10.0.0.1:1234")  # no raise

@@ -153,3 +153,42 @@ def test_fno_resolution_invariance():
                                jnp.ones((2,)))[:, 0, 0]),
         rtol=2e-2,
     )
+
+
+def test_spectral_conv_frequency_alignment_across_resolutions():
+    """Per-frequency weight alignment below 2*modes: on a band-limited input,
+    each retained Fourier mode must be multiplied by the SAME trained weight
+    at every resolution — including h < 2*modes1, where the surviving
+    negative frequencies -m1..-1 must take the TAIL rows of w_neg (a ky=-2
+    mode at h=6 with modes1=4 previously got the weight trained for ky=-3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pregen_pde_tpu.models.fno import SpectralConv2d
+
+    modes = 4
+    rng = np.random.default_rng(0)
+    # Band-limited spectral coefficients: ky in [-2, 2], kx in [0, 2] (rfft
+    # side), 2 input channels. Representable exactly at h=w=6 and h=w=12.
+    kys, kxs = range(-2, 3), range(0, 3)
+    coef = rng.normal(size=(5, 3, 2)) + 1j * rng.normal(size=(5, 3, 2))
+
+    def synth(n):
+        spec = np.zeros((1, n, n // 2 + 1, 2), np.complex128)
+        for iy, ky in enumerate(kys):
+            for ix, kx in enumerate(kxs):
+                spec[0, ky % n, kx] = coef[iy, ix]
+        return jnp.asarray(np.fft.irfft2(spec, s=(n, n), axes=(1, 2)) * n * n)
+
+    for impl in ("fft", "matmul"):
+        mod = SpectralConv2d(out_channels=3, modes1=modes, modes2=modes, impl=impl)
+        params = mod.init(jax.random.key(1), synth(12))
+        outs = {}
+        for n in (12, 6):  # 12 >= 2*modes (full), 6 < 2*modes (truncated)
+            y = np.asarray(mod.apply(params, synth(n)), np.float64)
+            # normalized per-mode output coefficients
+            spec = np.fft.rfft2(y, axes=(1, 2)) / (n * n)
+            outs[n] = np.stack(
+                [[spec[0, ky % n, kx] for kx in kxs] for ky in kys]
+            )
+        np.testing.assert_allclose(outs[6], outs[12], rtol=1e-4, atol=1e-8), impl

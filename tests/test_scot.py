@@ -150,3 +150,140 @@ def test_scot_trains_with_trainer():
                                            early_stop_patience=None))
     result = trainer.fit(BatchLoader(train, 4, seed=0))
     assert np.isfinite(result["history"][0]["train_loss"])
+
+
+def test_drop_path_rates_match_reference_law():
+    """Per-layer stochastic-depth rates ≡ `scOT/model.py:926-947,1061-1082`:
+    linspace(0, rate, 2·sum(depths)); encoder = first half in layer order;
+    decoder = second half sliced dpr[sum(depths[i+1:]):sum(depths[i:])] per
+    stage and reversed within the stage (`:847`). Recomputed independently
+    here (torch.linspace ≡ np.linspace, endpoints included)."""
+    from pregen_pde_tpu.models.scot import scot_drop_path_rates
+
+    depths, rate = (4, 4, 4, 4), 0.1
+    enc, dec = scot_drop_path_rates(depths, rate)
+    full = np.linspace(0.0, rate, 2 * sum(depths))
+    enc_flat, dec_flat = full[:16], full[16:]
+    for i in range(4):
+        for b in range(4):
+            assert np.isclose(enc[(i, b)], enc_flat[sum(depths[:i]) + b]), (i, b)
+            lo = sum(depths[i + 1:])
+            stage = dec_flat[lo:lo + depths[i]]
+            assert np.isclose(dec[(i, b)], stage[depths[i] - 1 - b]), (i, b)
+    # spot values: encoder starts at 0, last decoder stage reaches `rate`
+    assert enc[(0, 0)] == 0.0
+    assert np.isclose(max(dec.values()), rate)
+    # default config carries the reference default rate (`model.py:61`)
+    assert ScOTConfig().drop_path_rate == 0.1
+
+
+def test_scot_train_mode_stochastic_eval_deterministic():
+    cfg = ScOTConfig(**{**TINY.__dict__, "drop_path_rate": 0.5})
+    model = ScOT(cfg)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(4, 32, 32, 6)),
+                    jnp.float32)
+    t = jnp.full((4,), 0.5, jnp.float32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    # eval (train=False, default): deterministic, no rng needed
+    y1 = model.apply({"params": params}, x, t)
+    y2 = model.apply({"params": params}, x, t)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # train mode: stochastic across rngs, reproducible for the same rng
+    ya = model.apply({"params": params}, x, t, train=True,
+                     rngs={"dropout": jax.random.key(1)})
+    yb = model.apply({"params": params}, x, t, train=True,
+                     rngs={"dropout": jax.random.key(2)})
+    yc = model.apply({"params": params}, x, t, train=True,
+                     rngs={"dropout": jax.random.key(1)})
+    assert float(jnp.abs(ya - yb).max()) > 1e-6
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yc))
+
+
+def test_scot_mask_token():
+    cfg = ScOTConfig(**{**TINY.__dict__, "use_mask_token": True})
+    model = ScOT(cfg)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 32, 32, 6)),
+                    jnp.float32)
+    t = jnp.full((2,), 0.5, jnp.float32)
+    grid = cfg.image_size // cfg.patch_size
+    mask = jnp.zeros((2, grid, grid), bool).at[:, :4, :4].set(True)
+    params = model.init(jax.random.key(0), x, t, bool_masked_pos=mask)["params"]
+    assert params["mask_token"].shape == (1, 1, 1, cfg.embed_dim)
+    y_masked = model.apply({"params": params}, x, t, bool_masked_pos=mask)
+    y_plain = model.apply({"params": params}, x, t)
+    assert y_masked.shape == y_plain.shape
+    # a zero mask is a no-op; a real mask changes the output
+    y_zero = model.apply({"params": params}, x, t,
+                         bool_masked_pos=jnp.zeros((2, grid, grid), bool))
+    # atol covers XLA fusion/rounding differences between the two programs
+    np.testing.assert_allclose(np.asarray(y_zero), np.asarray(y_plain),
+                               atol=1e-5)
+    assert float(jnp.abs(y_masked - y_plain).max()) > 1e-6
+    # without use_mask_token the arg is rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        ScOT(TINY).init(jax.random.key(0), x, t, bool_masked_pos=mask)
+
+
+def test_scot_pixel_mask_forcing_in_forward():
+    """`prediction[pixel_mask] = labels[pixel_mask]` inside forward
+    (`scOT/model.py:1372-1374`)."""
+    model = ScOT(TINY)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 32, 32, 6)),
+                    jnp.float32)
+    t = jnp.full((2,), 0.5, jnp.float32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    labels = jnp.asarray(np.random.default_rng(5).normal(size=(2, 32, 32, 3)),
+                         jnp.float32)
+    pm = jnp.zeros((2, 32, 32, 3), bool).at[..., 2].set(True)  # force channel 2
+    y = model.apply({"params": params}, x, t, pixel_mask=pm, labels=labels)
+    np.testing.assert_array_equal(np.asarray(y[..., 2]),
+                                  np.asarray(labels[..., 2]))
+    y_free = model.apply({"params": params}, x, t)
+    np.testing.assert_allclose(np.asarray(y[..., :2]),
+                               np.asarray(y_free[..., :2]), atol=1e-6)
+
+
+def test_scot_resnet_residual_model():
+    cfg = ScOTConfig(**{**TINY.__dict__, "residual_model": "resnet"})
+    model = ScOT(cfg)
+    x = jnp.ones((2, 32, 32, 6), jnp.float32)
+    t = jnp.full((2,), 0.5, jnp.float32)
+    params = model.init(jax.random.key(0), x, t)["params"]
+    assert any("skip_0_blk_0" in k for k in params)
+    y = model.apply({"params": params}, x, t)
+    assert y.shape == (2, 32, 32, 3)
+
+
+def test_rollout_pixel_mask_forcing_propagates():
+    """AR rollout with pixel_mask: forced channels enter the feedback, so a
+    downstream prediction differs from the unforced rollout even on channels
+    that were never forced (reference feeds the FORCED prediction back,
+    `scOT/model.py:1372-1374` + `scOT/trainer.py:240-316`)."""
+    from pregen_pde_tpu.evalx.rollout import rollout_pattern
+
+    model = ScOT(TINY)
+    rng = np.random.default_rng(6)
+    inp = jnp.asarray(rng.normal(size=(2, 32, 32, 6)), jnp.float32)
+    t0 = jnp.full((2,), 0.5, jnp.float32)
+    params = model.init(jax.random.key(0), inp, t0)["params"]
+    forced = [jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+              for _ in range(2)]
+    pm = jnp.zeros((2, 32, 32, 3), bool).at[..., 0].set(True)
+
+    def fwd(vars_, x, t):
+        return model.apply(vars_, x, t)
+
+    preds_free = rollout_pattern(fwd, params, inp, [1, 1],
+                                 time_channel=False, out_channels=3)
+    preds_forced = rollout_pattern(fwd, params, inp, [1, 1],
+                                   time_channel=False, out_channels=3,
+                                   pixel_mask=pm, forced_labels=forced)
+    # step-2 forced prediction: channel 0 pinned to the forced frame
+    np.testing.assert_array_equal(np.asarray(preds_forced[1][..., 0]),
+                                  np.asarray(forced[1][..., 0]))
+    # un-forced channels at step 2 differ because step-1 feedback carried the
+    # forced channel 0
+    assert float(jnp.abs(preds_forced[1][..., 1:]
+                         - preds_free[1][..., 1:]).max()) > 1e-6

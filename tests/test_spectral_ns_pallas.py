@@ -85,7 +85,8 @@ def test_sharded_traj_on_virtual_mesh():
 
 def test_supported_and_validation():
     assert snp.supported(256) and snp.supported(128)
-    assert not snp.supported(192) and not snp.supported(64) and not snp.supported(512)
+    assert snp.supported(384) and snp.supported(512)  # VMEM-diet sizes
+    assert not snp.supported(192) and not snp.supported(64) and not snp.supported(640)
     sol = NSVorticitySolver(NSVorticityConfig(resolution=128))
     with pytest.raises(ValueError):
         snp.build_batched_traj(sol, precision="bogus")
@@ -99,3 +100,99 @@ def test_resolve_method_auto_cpu_falls_back():
     # tests run on CPU → auto must select the jnp path
     assert resolve_method("auto", 256) == "cn_ab2_packed"
     assert resolve_method("cn_heun_packed", 256) == "cn_heun_packed"
+
+
+def test_pallas_high_precision_matches_jnp():
+    """precision="high" (3-pass split-bf16): must track the jnp f32 path far
+    tighter than one-pass bf16 — per-op error ~2^-17, so a short trajectory
+    agrees to ~1e-5 even in interpret mode (real bf16 arithmetic)."""
+    n = 128
+    cfg = NSVorticityConfig(
+        resolution=n, viscosity=1e-3, dt=1e-3, t_end=6e-3,
+        n_snapshots=3, include_initial=True, forcing="fno",
+    )
+    sol = NSVorticitySolver(cfg)
+    rng = np.random.default_rng(7)
+    w0 = jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32))
+    nu = jnp.asarray([1e-3, 2e-3], jnp.float32)
+    ref = np.asarray(jax.vmap(sol.make_trajectory_fn_nu("cn_ab2_packed"))(w0, nu))
+    got = np.asarray(snp.build_batched_traj(sol, precision="high")(w0, nu))
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 5e-5, err
+    # strictly tighter than the one-pass fast path on the same trajectory
+    # (fast is still correct, just noisier)
+    got_fast = np.asarray(snp.build_batched_traj(sol, precision="fast")(w0, nu))
+    err_fast = np.max(np.abs(got_fast - ref)) / np.max(np.abs(ref))
+    assert err < err_fast or err < 1e-6, (err, err_fast)
+
+
+def test_matrix_pack_split_reconstructs_f32():
+    """hi + lo bf16 halves must reconstruct the DFT matrix combos to ~2^-16
+    relative (16 mantissa bits)."""
+    from pregen_pde_tpu.ops import ct_fft
+
+    plan = ct_fft.make_plan(256, 2)
+    fwd_r, fwd_l, inv_r, inv_l = snp._matrix_pack_split(plan)
+    assert fwd_r.shape == (12, 128, 128)
+    for pack, mats in ((fwd_r, plan.fwd), (inv_r, plan.inv)):
+        for c, d in enumerate(mats):
+            for t, combo in enumerate((d.real - d.imag, d.imag, d.real)):
+                rec = pack[c * 6 + 2 * t].astype(np.float64) + pack[
+                    c * 6 + 2 * t + 1
+                ].astype(np.float64)
+                err = np.max(np.abs(rec - combo))
+                assert err < 2.0 ** -15, (c, t, err)
+    # transposed packs really are transposes
+    np.testing.assert_array_equal(
+        fwd_l[0].astype(np.float32), fwd_r[0].astype(np.float32).T
+    )
+
+
+def test_pallas_fields_output_matches_jnp_diagnosis():
+    """output="fields": the kernel's fused per-snapshot (u,v,p) diagnosis
+    must equal `fields_from_vorticity` applied to the jnp trajectory
+    (`datagen/pipeline.py::_pack_contract`'s per-frame path)."""
+    n = 128
+    cfg = NSVorticityConfig(
+        resolution=n, viscosity=1e-3, dt=1e-3, t_end=4e-3,
+        n_snapshots=2, include_initial=True, forcing="fno",
+    )
+    sol = NSVorticitySolver(cfg)
+    rng = np.random.default_rng(11)
+    w0 = jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32))
+    nu = jnp.asarray([1e-3, 2e-3], jnp.float32)
+    w_ref = jax.vmap(sol.make_trajectory_fn_nu("cn_ab2_packed"))(w0, nu)
+
+    def per_frame(w):
+        f = sol.fields_from_vorticity(w)
+        return jnp.stack([f["u"], f["v"], f["p"]], axis=-1)
+
+    ref = np.asarray(jax.vmap(jax.vmap(per_frame))(w_ref))
+    got = np.asarray(
+        snp.build_batched_traj(sol, output="fields")(w0, nu)
+    )
+    assert got.shape == ref.shape == (2, 3, n, n, 3)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 5e-6, err
+
+
+def test_generate_bucket_pallas_fields_path_matches_packed(monkeypatch):
+    """The datagen bucket with a Pallas method (fused fields output) must
+    produce the same contract as the XLA-FFT path."""
+    from pregen_pde_tpu.datagen import pipeline as pl_mod
+
+    cfg = NSVorticityConfig(
+        resolution=128, viscosity=1e-3, dt=1e-3, t_end=2e-3,
+        n_snapshots=1, include_initial=True, forcing="fno",
+    )
+    sol = NSVorticitySolver(cfg)
+    keys = jax.random.split(jax.random.key(0), 2)
+    nu = jnp.asarray([1e-3, 2e-3], jnp.float32)
+    re = jnp.asarray([0.1, 0.2], jnp.float32)
+    ref = np.asarray(pl_mod._generate_bucket(
+        keys, nu, re, sol, 2, method="cn_ab2_packed"))
+    got = np.asarray(pl_mod._generate_bucket(
+        keys, nu, re, sol, 2, method="cn_ab2_pallas"))
+    assert got.shape == ref.shape and got.shape[-1] == 6
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 5e-6, err

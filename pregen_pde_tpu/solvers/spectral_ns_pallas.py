@@ -40,14 +40,17 @@ __all__ = ["build_batched_traj", "build_sharded_traj", "supported"]
 
 
 def supported(n: int) -> bool:
-    """Square grids, n a multiple of 128, up to 512: the whole working set
+    """Square grids, n a multiple of 128, up to 896: the whole working set
     (state + AB2 history + spectral constants + transform temporaries) must
-    fit the ~16 MB VMEM. The separable-constant diet
-    (`_spectral_consts_diet`: vector wavenumber/dealias/k² constants,
-    in-kernel CN factors, sparse baked forcing) brings 512² (m=4, g=1)
-    under the budget; 640²+ would need block-row tiling with HBM spills and
-    falls back to the XLA-FFT path."""
-    return n % 128 == 0 and 128 <= n <= 512
+    fit VMEM under the raised `vmem_limit_bytes`. The separable-constant
+    diet (`_spectral_consts_diet`: vector wavenumber/dealias/k² constants,
+    in-kernel CN factors, sparse baked forcing) enabled 512²; measured
+    on-chip (B from 8 to 4, g=1, fast): 640² 16.4 traj/s (12× XLA-FFT),
+    768² 11.0 (13×), 896² 6.6 (~11×, but the radix-7 butterfly costs a
+    ~5.5 min one-time Mosaic compile; 640²/768² compile in 30-50 s).
+    1024² (m=8) fails Mosaic compile (VMEM) — it would need block-row
+    tiling with HBM spills and falls back to the XLA-FFT path."""
+    return n % 128 == 0 and 128 <= n <= 896
 
 
 # ---------------------------------------------------------------------------
@@ -528,8 +531,8 @@ def build_batched_traj(solver, inner_steps: int | None = None,
     n = cfg.resolution
     if not supported(n):
         raise ValueError(
-            f"pallas stepper requires n in {{128, 256, 384, 512}} "
-            f"(multiples of 128; VMEM bound), got {n}"
+            f"pallas stepper requires n a multiple of 128 in [128, 896] "
+            f"(VMEM bound above), got {n}"
         )
     if precision not in ("fast", "high", "exact"):
         raise ValueError(

@@ -40,6 +40,25 @@ def test_pallas_matches_jnp_packed_ab2(n, drag, forcing):
     assert err < 5e-6, err
 
 
+@pytest.mark.parametrize("n", [384, 640])
+def test_pallas_odd_radix_matches_jnp(n):
+    """m = 3 and m = 5 exercise the complex W_m butterfly weights in
+    `_combine` (the 128/256 cases only hit the ±1 fast paths); 640/768/896
+    were additionally validated on-chip (see `supported`)."""
+    cfg = NSVorticityConfig(
+        resolution=n, viscosity=1e-3, dt=1e-3, t_end=2e-3,
+        n_snapshots=1, include_initial=False, forcing="fno",
+    )
+    sol = NSVorticitySolver(cfg)
+    rng = np.random.default_rng(7)
+    w0 = jnp.asarray(rng.normal(size=(1, n, n)).astype(np.float32))
+    ref = np.asarray(jax.vmap(sol.make_trajectory_fn_nu("cn_ab2_packed"))(
+        w0, jnp.asarray([1e-3], jnp.float32)))
+    got = np.asarray(snp.build_batched_traj(sol)(w0))
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 5e-6, err
+
+
 def test_pallas_traced_inner_steps():
     """One build serves multiple horizon buckets via the SMEM trip count
     (≡ the jnp path's traced inner_steps — the difficulty-schedule
@@ -86,7 +105,8 @@ def test_sharded_traj_on_virtual_mesh():
 def test_supported_and_validation():
     assert snp.supported(256) and snp.supported(128)
     assert snp.supported(384) and snp.supported(512)  # VMEM-diet sizes
-    assert not snp.supported(192) and not snp.supported(64) and not snp.supported(640)
+    assert snp.supported(640) and snp.supported(768) and snp.supported(896)
+    assert not snp.supported(192) and not snp.supported(64) and not snp.supported(1024)
     sol = NSVorticitySolver(NSVorticityConfig(resolution=128))
     with pytest.raises(ValueError):
         snp.build_batched_traj(sol, precision="bogus")

@@ -40,7 +40,7 @@ __all__ = ["build_batched_traj", "build_sharded_traj", "supported"]
 
 
 def supported(n: int) -> bool:
-    """Square grids, n a multiple of 128, up to 896: the whole working set
+    """Square grids, n a multiple of 128, up to 1024: the whole working set
     (state + AB2 history + spectral constants + transform temporaries) must
     fit VMEM under the raised `vmem_limit_bytes`. The separable-constant
     diet (`_spectral_consts_diet`: vector wavenumber/dealias/k² constants,
@@ -48,9 +48,14 @@ def supported(n: int) -> bool:
     on-chip (B from 8 to 4, g=1, fast): 640² 16.4 traj/s (12× XLA-FFT),
     768² 11.0 (13×), 896² 6.6 (~11×, but the radix-7 butterfly costs a
     ~5.5 min one-time Mosaic compile; 640²/768² compile in 30-50 s).
-    1024² (m=8) fails Mosaic compile (VMEM) — it would need block-row
-    tiling with HBM spills and falls back to the XLA-FFT path."""
-    return n % 128 == 0 and 128 <= n <= 896
+    1024² (m=8) runs the deeper VMEM diet (`diet2`): the CN factors and
+    the 1/|k|² plane are rebuilt on the fly from the separable k² vectors
+    every step instead of living in scratch/input planes — 12 MB of
+    always-live VMEM becomes briefly-live temporaries, which is what lets
+    the 25 MB state + transform temporaries fit under the raised limit.
+    Measured on chip: 4.86 traj/s at B=2 (6.1× the 0.80 traj/s XLA-FFT
+    path; ~5 min one-time Mosaic compile for the radix-8 butterfly)."""
+    return n % 128 == 0 and 128 <= n <= 1024
 
 
 # ---------------------------------------------------------------------------
@@ -488,7 +493,8 @@ class _KernelFFT:
 
 def build_batched_traj(solver, inner_steps: int | None = None,
                        precision: str = "fast", group: int | str = "auto",
-                       output: str = "vorticity"):
+                       output: str = "vorticity",
+                       _diet2: bool | None = None):
     """Batched trajectory integrator ``traj(w0:(B,n,n), nu:(B,)|None) ->
     (B, T, n, n)`` running the whole CN+AB2 loop in one Pallas kernel.
 
@@ -531,9 +537,15 @@ def build_batched_traj(solver, inner_steps: int | None = None,
     n = cfg.resolution
     if not supported(n):
         raise ValueError(
-            f"pallas stepper requires n a multiple of 128 in [128, 896] "
+            f"pallas stepper requires n a multiple of 128 in [128, 1024] "
             f"(VMEM bound above), got {n}"
         )
+    # VMEM diet v2 (the 1024² enabler): no 1/|k|² input plane and no
+    # CN-factor scratch planes — both are rebuilt per use from the
+    # separable k² vectors (one VPU divide per plane, negligible next to
+    # the m=8 matmul chains) so their 12 MB is live only briefly instead
+    # of pinned for the whole kernel.
+    diet2 = (n >= 1024) if _diet2 is None else bool(_diet2)
     if precision not in ("fast", "high", "exact"):
         raise ValueError(
             f"precision must be 'fast', 'high' or 'exact', got {precision!r}"
@@ -566,9 +578,12 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         (
             inner_ref,
             w0r_ref, w0i_ref, nu_ref,
-            kxr_ref, kyc_ref, dxr_ref, dyc_ref, k2x_ref, k2y_ref, ik2_ref,
-        ) = refs[:11]
-        idx = 11
+            kxr_ref, kyc_ref, dxr_ref, dyc_ref, k2x_ref, k2y_ref,
+        ) = refs[:10]
+        idx = 10
+        if not diet2:
+            ik2_ref = refs[idx]
+            idx += 1
         if dense_forcing:
             fr_ref, fi_ref = refs[idx : idx + 2]
             idx += 2
@@ -586,7 +601,10 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         else:
             out_ref = refs[idx]
             idx += 1
-        wr, wi, nr, ni, vnS, vdS = refs[idx : idx + 6]
+        if diet2:
+            wr, wi, nr, ni = refs[idx : idx + 4]
+        else:
+            wr, wi, nr, ni, vnS, vdS = refs[idx : idx + 6]
 
         s = pl.program_id(1)
         loop_prec = (
@@ -610,7 +628,17 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         kyc1 = kyc_ref[:, 0:1]                       # (n, 1)
         dxr = dxr_ref[0:1, :]
         dyc1 = dyc_ref[:, 0:1]
-        ik2v = ik2_ref[:]
+
+        def make_ik2():
+            """diet2: rebuild permute2(inv_k2_full) from the separable k²
+            vectors (zero mode exact: k² sums to 0.0 only there). Called
+            INSIDE rhs / the output epilogue so the plane is live only in
+            that scope — a top-level value would be loop-invariant and
+            pinned in VMEM for the whole kernel."""
+            k2 = k2y_ref[:, 0:1] + k2x_ref[0:1, :]
+            return jnp.where(k2 > 0.0, 1.0 / k2, 0.0)
+
+        ik2v = None if diet2 else ik2_ref[:]
 
         # with VMEM headroom (n ≤ 256), materialize the per-image constants
         # g-tiled once — plain full-plane VPU multiplies lower best; at 512²
@@ -621,11 +649,17 @@ def build_batched_traj(solver, inner_steps: int | None = None,
                 jnp.broadcast_to(c, (n, n)) if g == 1
                 else jnp.concatenate([jnp.broadcast_to(c, (n, n))] * g, 0)
             )
-            big_c = {"ik2": big(ik2v), "ky": big(kyc1), "dy": big(dyc1)}
+            # diet2 has no ik2 plane to tile — "ik2" falls through to the
+            # per-use rebuilt constant in `bimg` (only reachable when diet2
+            # is forced at small n for tests; real diet2 is n ≥ 1024 where
+            # tile2d is False)
+            big_c = {"ky": big(kyc1), "dy": big(dyc1)}
+            if not diet2:
+                big_c["ik2"] = big(ik2v)
 
         def bimg(x, c, key):
             """x (g·n, n) × per-image constant c ((n, 1) or (n, n))."""
-            if tile2d:
+            if tile2d and key in big_c:
                 return x * big_c[key]
             if g == 1:
                 return x * c
@@ -636,7 +670,8 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             is a constant, so its AB2 contribution telescopes to +dt·F̂·vd
             per step and is applied as per-element scalar updates in `body`
             (sparse forcings never materialize an (n, n) plane)."""
-            pr, pi = bimg(ar, ik2v, "ik2"), bimg(ai, ik2v, "ik2")
+            ik2l = make_ik2() if diet2 else ik2v
+            pr, pi = bimg(ar, ik2l, "ik2"), bimg(ai, ik2l, "ik2")
             # velocity pack: (kx + i·ky)·psi → ifft2 → u + i·v
             c1r = kxr * pr - bimg(pi, kyc1, "ky")
             c1i = kxr * pi + bimg(pr, kyc1, "ky")
@@ -674,20 +709,31 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             # and the per-image ν SMEM scalar (no (n, n) viscosity inputs,
             # no per-step recompute — measured ~16% of step time); nu_ref
             # holds the WHOLE (B,) array (rank-1 SMEM blocks must be
-            # whole-array on Mosaic) — instance b covers images b·g+im
-            k2x = k2x_ref[0:1, :]  # (1, n)
-            k2y = k2y_ref[:, 0:1]  # (n, 1)
-            for im in range(g):
-                sl = slice(im * n, (im + 1) * n)
-                nuk2 = nu_ref[b0 * g + im] * (k2y + k2x)
-                vnS[sl, :] = 1.0 - halfdt * nuk2
-                vdS[sl, :] = 1.0 / (1.0 + halfdt * nuk2)
+            # whole-array on Mosaic) — instance b covers images b·g+im.
+            # diet2 (1024²): no vn/vd scratch at all — `cn_factors` in
+            # `body` rebuilds them per step instead.
+            if not diet2:
+                k2x = k2x_ref[0:1, :]  # (1, n)
+                k2y = k2y_ref[:, 0:1]  # (n, 1)
+                for im in range(g):
+                    sl = slice(im * n, (im + 1) * n)
+                    nuk2 = nu_ref[b0 * g + im] * (k2y + k2x)
+                    vnS[sl, :] = 1.0 - halfdt * nuk2
+                    vdS[sl, :] = 1.0 / (1.0 + halfdt * nuk2)
+
+        def cn_factors():
+            """diet2 per-step CN factors from the separable k² vectors and
+            the ν SMEM scalar (g == 1 enforced in `traj`): briefly-live
+            temporaries instead of 8 MB of pinned scratch."""
+            nuk2 = nu_ref[b0] * (k2y_ref[:, 0:1] + k2x_ref[0:1, :])
+            return 1.0 - halfdt * nuk2, 1.0 / (1.0 + halfdt * nuk2)
 
         def body(i, carry):
             ar, ai = wr[:], wi[:]
             r1, i1 = rhs(ar, ai)
-            wr[:] = (ar * vnS[:] + dt * (1.5 * r1 - 0.5 * nr[:])) * vdS[:]
-            wi[:] = (ai * vnS[:] + dt * (1.5 * i1 - 0.5 * ni[:])) * vdS[:]
+            vn, vd = cn_factors() if diet2 else (vnS[:], vdS[:])
+            wr[:] = (ar * vn + dt * (1.5 * r1 - 0.5 * nr[:])) * vd
+            wi[:] = (ai * vn + dt * (1.5 * i1 - 0.5 * ni[:])) * vd
             # constant forcing: AB2 telescopes to +dt·F̂·vd each step
             # (incl. the Euler bootstrap) — per-element scalar updates,
             # k² at each forced mode is a static host-side constant
@@ -717,7 +763,8 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             # fused contract diagnosis ≡ fields_from_vorticity
             # (`spectral_ns.py:94-124`), all VMEM-resident at HIGHEST:
             ar, ai = wr[:], wi[:]
-            pr_, pi_ = bimg(ar, ik2v, "ik2"), bimg(ai, ik2v, "ik2")  # ψ̂
+            ik2o = make_ik2() if diet2 else ik2v
+            pr_, pi_ = bimg(ar, ik2o, "ik2"), bimg(ai, ik2o, "ik2")  # ψ̂
             # velocity pack (kx + i·ky)·ψ̂ → u + i·v
             c1r = kxr * pr_ - bimg(pi_, kyc1, "ky")
             c1i = kxr * pi_ + bimg(pr_, kyc1, "ky")
@@ -735,7 +782,10 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             # Δp = 2(u_x v_y − u_y v_x) → p̂ = −rhŝ/|k|²
             rhs_p = 2.0 * (uxr * vyr - uyr * vxr)
             Rr, Ri = fft_out.fft2(rhs_p, real_input=True)
-            pre, _ = fft_out.ifft2(-bimg(Rr, ik2v, "ik2"), -bimg(Ri, ik2v, "ik2"))
+            # recompute under diet2 rather than carrying ik2o across the
+            # three transforms above
+            ik2p = make_ik2() if diet2 else ik2v
+            pre, _ = fft_out.ifft2(-bimg(Rr, ik2p, "ik2"), -bimg(Ri, ik2p, "ik2"))
             out_u[:, 0] = ur.reshape(g, n, n)
             out_v[:, 0] = vr2.reshape(g, n, n)
             out_p[:, 0] = pre.reshape(g, n, n)
@@ -759,6 +809,8 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             g = int(group)
             if B % g:
                 raise ValueError(f"batch {B} not divisible by group {g}")
+        if diet2 and g != 1:
+            raise ValueError(f"n={n} (VMEM diet v2) requires group=1, got {g}")
         cb = lambda: pl.BlockSpec(
             (g, n, n), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
         )
@@ -800,7 +852,10 @@ def build_batched_traj(solver, inner_steps: int | None = None,
                     # the 16 MB scoped-vmem cap is a compiler default, not
                     # the v5e hardware (128 MB physical VMEM); the working
                     # set at 256² g=2 / 512² g=1 sits at ~20-40 MB
-                    vmem_limit_bytes=100 * 1024 * 1024,
+                    # diet2 (1024²) measures 106 MB scoped (state + radix-8
+                    # transform temporaries) — still under the 128 MB
+                    # physical VMEM, so the cap moves to 120 MB there.
+                    vmem_limit_bytes=(120 if diet2 else 100) * 1024 * 1024,
                 )
             }
         )
@@ -815,7 +870,7 @@ def build_batched_traj(solver, inner_steps: int | None = None,
                 # be whole-array on Mosaic); kernel indexes b·g+im
                 pl.BlockSpec((B,), lambda b, s: (0,), memory_space=pltpu.SMEM),
                 crow(), ccol(), crow(), ccol(), crow(), ccol(),  # kx ky dx dy k2x k2y
-                cnn(),  # ik2
+                *([] if diet2 else [cnn()]),  # ik2 (diet2: rebuilt in-kernel)
                 *([cnn(), cnn()] if dense_forcing else []),
                 cm(), cm(), cm(), cm(), cm(), cm(), cm(), cm(),
                 *[cs() for _ in split_mats],
@@ -837,7 +892,9 @@ def build_batched_traj(solver, inner_steps: int | None = None,
                 else jax.ShapeDtypeStruct((B, S, n, n), jnp.float32)
             ),
             scratch_shapes=[
-                pltpu.VMEM((g * n, n), jnp.float32) for _ in range(6)
+                # diet2: no vn/vd CN-factor scratch (rebuilt per step)
+                pltpu.VMEM((g * n, n), jnp.float32)
+                for _ in range(4 if diet2 else 6)
             ],
             **extra,
         )(
@@ -846,7 +903,7 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             consts["kx_row"], consts["ky_col"],
             consts["dx_row"], consts["dy_col"],
             consts["k2x_row"], consts["k2y_col"],
-            consts["ik2"],
+            *([] if diet2 else [consts["ik2"]]),
             *([jnp.asarray(fr_np), jnp.asarray(fi_np)] if dense_forcing else []),
             *[jnp.asarray(a) for a in mats],
             *[jnp.asarray(a) for a in split_mats],

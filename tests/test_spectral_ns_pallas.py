@@ -106,12 +106,48 @@ def test_supported_and_validation():
     assert snp.supported(256) and snp.supported(128)
     assert snp.supported(384) and snp.supported(512)  # VMEM-diet sizes
     assert snp.supported(640) and snp.supported(768) and snp.supported(896)
-    assert not snp.supported(192) and not snp.supported(64) and not snp.supported(1024)
+    assert snp.supported(1024)  # VMEM diet v2
+    assert not snp.supported(192) and not snp.supported(64) and not snp.supported(1152)
     sol = NSVorticitySolver(NSVorticityConfig(resolution=128))
     with pytest.raises(ValueError):
         snp.build_batched_traj(sol, precision="bogus")
     with pytest.raises(ValueError):
         snp.build_batched_traj(NSVorticitySolver(NSVorticityConfig(resolution=96)))
+    with pytest.raises(ValueError):  # diet2 is a g=1 layout
+        snp.build_batched_traj(sol, group=2, _diet2=True)(
+            jnp.zeros((2, 128, 128), jnp.float32))
+
+
+def test_pallas_diet2_matches_jnp():
+    """VMEM diet v2 (the 1024² layout: no ik2 input plane, no CN-factor
+    scratch — both rebuilt per use from the separable k² vectors) forced at
+    128² through the interpreter must still reproduce the jnp path, for
+    vorticity AND fused-fields output."""
+    n = 128
+    cfg = NSVorticityConfig(
+        resolution=n, viscosity=1e-3, dt=1e-3, t_end=4e-3,
+        n_snapshots=2, include_initial=True, forcing="fno", drag=0.1,
+    )
+    sol = NSVorticitySolver(cfg)
+    rng = np.random.default_rng(13)
+    w0 = jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32))
+    nu = jnp.asarray([1e-3, 2e-3], jnp.float32)
+    ref = np.asarray(jax.vmap(sol.make_trajectory_fn_nu("cn_ab2_packed"))(w0, nu))
+    got = np.asarray(
+        snp.build_batched_traj(sol, group=1, _diet2=True)(w0, nu))
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 5e-6, err
+
+    def per_frame(w):
+        f = sol.fields_from_vorticity(w)
+        return jnp.stack([f["u"], f["v"], f["p"]], axis=-1)
+
+    w_ref = jax.vmap(sol.make_trajectory_fn_nu("cn_ab2_packed"))(w0, nu)
+    ref_f = np.asarray(jax.vmap(jax.vmap(per_frame))(w_ref))
+    got_f = np.asarray(
+        snp.build_batched_traj(sol, output="fields", group=1, _diet2=True)(w0, nu))
+    err_f = np.max(np.abs(got_f - ref_f)) / np.max(np.abs(ref_f))
+    assert err_f < 5e-6, err_f
 
 
 def test_resolve_method_auto_cpu_falls_back():

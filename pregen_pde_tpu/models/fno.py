@@ -115,6 +115,7 @@ class FNO2d(nn.Module):
     width: int = 32
     n_layers: int = 4
     pad_frac: float = 0.25  # zero-pad the domain before spectral layers
+    head_width: int = 128  # fixed projection-head width (`FNO.py:84` fc1)
     append_grid: bool = True
     mask_channel: int | None = None  # input channel index of validity mask
 
@@ -137,16 +138,20 @@ class FNO2d(nn.Module):
 
         x = nn.Dense(self.width)(x)
 
-        pad_h, pad_w = int(h * self.pad_frac), int(w * self.pad_frac)
+        # `FNO.py:113-115`: int(round(size * frac))
+        pad_h = int(round(h * self.pad_frac))
+        pad_w = int(round(w * self.pad_frac))
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
 
-        for _ in range(self.n_layers):
+        for k in range(self.n_layers):
             x_spec = SpectralConv2d(self.width, self.modes, self.modes)(x)
             x_loc = nn.Dense(self.width)(x)
-            x = nn.gelu(x_spec + x_loc)
+            x = x_spec + x_loc
+            if k != self.n_layers - 1:  # GELU between layers only (`FNO.py:121-122`)
+                x = nn.gelu(x)
 
         x = x[:, :h, :w, :]
-        x = nn.Dense(self.width * 2)(x)
+        x = nn.Dense(self.head_width)(x)
         x = nn.gelu(x)
         x = nn.Dense(self.out_channels)(x)
         if valid is not None:

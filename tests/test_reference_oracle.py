@@ -235,3 +235,182 @@ def test_ffno_matches_reference_forward():
         ours.apply({"params": new}, jnp.asarray(x_ours, jnp.float32))
     ) * mask
     assert _rel_err(y, y_ref) < 3e-4, _rel_err(y, y_ref)
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN3 ops: upfirdn2d / bias_act / filtered_lrelu / LReLu layer
+# ---------------------------------------------------------------------------
+
+CNO_DIR = os.path.join(REF, "CNO_Experiments")
+
+
+def _import_cno_ref(modname: str):
+    """Import a reference CNO_Experiments module (torch_utils / training).
+
+    torch_utils.ops.conv2d_gradfix imports pkg_resources, which py3.12
+    setuptools no longer exposes — provide a minimal stand-in.
+    """
+    import types
+
+    if "pkg_resources" not in sys.modules:
+        pr = types.ModuleType("pkg_resources")
+        from packaging.version import parse as _pv
+
+        pr.parse_version = _pv
+        sys.modules["pkg_resources"] = pr
+    sys.path.insert(0, CNO_DIR)
+    try:
+        return importlib.import_module(modname)
+    finally:
+        sys.path.remove(CNO_DIR)
+
+
+def _nchw(a):  # numpy NHWC -> torch NCHW
+    return torch.from_numpy(np.transpose(a, (0, 3, 1, 2)).copy())
+
+
+def _nhwc(t):  # torch NCHW -> numpy NHWC
+    return np.transpose(_t2n(t), (0, 2, 3, 1))
+
+
+def test_upfirdn2d_matches_reference_ref_impl():
+    """Our NHWC upfirdn2d vs the reference `_upfirdn2d_ref`
+    (`torch_utils/ops/upfirdn2d.py:158-186`) across up/down/pad/flip/gain and
+    separable vs full filters, on both the matmul and conv lowerings."""
+    ref = _import_cno_ref("torch_utils.ops.upfirdn2d")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 9, 11, 3)).astype(np.float32)
+    sep = np.asarray([1.0, 3.0, 3.0, 1.0], np.float32)
+    sep /= sep.sum()
+    full = np.outer(sep, sep).astype(np.float32)
+
+    from pregen_pde_tpu.ops.upfirdn2d import upfirdn2d as ours
+
+    import jax.numpy as jnp
+
+    cases = [
+        dict(f=sep, up=2, down=1, padding=2),
+        dict(f=sep, up=1, down=2, padding=[1, 2, 0, 3]),
+        dict(f=sep, up=2, down=2, padding=3, gain=4.0),
+        dict(f=sep, up=1, down=1, padding=0, flip_filter=True),
+        dict(f=full, up=2, down=1, padding=2),
+        dict(f=full, up=1, down=2, padding=[2, 1, 3, 0], gain=2.0),
+        dict(f=None, up=2, down=1, padding=1),
+    ]
+    for kw in cases:
+        f = kw.pop("f")
+        tf = None if f is None else torch.from_numpy(f)
+        y_ref = _nhwc(
+            ref.upfirdn2d(_nchw(x), tf, impl="ref", **kw)
+        )
+        impls = ("auto", "conv") if (f is None or f.ndim == 1) else ("auto",)
+        for impl in impls:
+            y = np.asarray(
+                ours(jnp.asarray(x), None if f is None else jnp.asarray(f),
+                     impl=impl, **kw)
+            )
+            assert y.shape == y_ref.shape, (kw, impl, y.shape, y_ref.shape)
+            assert _rel_err(y, y_ref) < 1e-5, (kw, impl, _rel_err(y, y_ref))
+
+
+def test_bias_act_matches_reference_ref_impl():
+    """Our bias_act vs the reference `_bias_act_ref`
+    (`torch_utils/ops/bias_act.py:83-107`) over the full activation table
+    with gains and clamping."""
+    ref = _import_cno_ref("torch_utils.ops.bias_act")
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 6, 7, 5)).astype(np.float32) * 2.0
+    b = rng.normal(size=(5,)).astype(np.float32)
+
+    from pregen_pde_tpu.ops.bias_act import bias_act as ours
+
+    import jax.numpy as jnp
+
+    for act in ("linear", "relu", "lrelu", "tanh", "sigmoid", "elu", "selu",
+                "softplus", "swish"):
+        for gain, clamp in ((None, None), (2.0, None), (None, 0.5)):
+            y_ref = _nhwc(
+                ref.bias_act(_nchw(x), torch.from_numpy(b), dim=1, act=act,
+                             gain=gain, clamp=clamp, impl="ref")
+            )
+            y = np.asarray(
+                ours(jnp.asarray(x), jnp.asarray(b), dim=-1, act=act,
+                     gain=gain, clamp=clamp)
+            )
+            assert _rel_err(y, y_ref) < 1e-5, (act, gain, clamp)
+
+
+def test_filtered_lrelu_matches_reference_ref_impl():
+    """Our fused filtered_lrelu vs the reference `_filtered_lrelu_ref`
+    (`torch_utils/ops/filtered_lrelu.py:113-145`), including the CNO
+    configuration (up=down=2, Kaiser filters, gain √2, slope 0.2)."""
+    flref = _import_cno_ref("torch_utils.ops.filtered_lrelu")
+    upref = _import_cno_ref("torch_utils.ops.upfirdn2d")
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+    fu = _t2n(upref.setup_filter([1.0, 3.0, 3.0, 1.0]))
+    fd = _t2n(upref.setup_filter([1.0, 2.0, 1.0]))
+
+    from pregen_pde_tpu.ops.filtered_lrelu import filtered_lrelu as ours
+
+    import jax.numpy as jnp
+
+    cases = [
+        dict(up=2, down=2, padding=4),
+        dict(up=2, down=1, padding=[3, 2, 2, 3], gain=1.0, slope=0.1),
+        dict(up=1, down=2, padding=3, clamp=0.25),
+    ]
+    for kw in cases:
+        y_ref = _nhwc(
+            flref.filtered_lrelu(
+                _nchw(x), torch.from_numpy(fu), torch.from_numpy(fd),
+                torch.from_numpy(b), impl="ref", **kw)
+        )
+        y = np.asarray(
+            ours(jnp.asarray(x), jnp.asarray(fu), jnp.asarray(fd),
+                 jnp.asarray(b), **kw)
+        )
+        assert y.shape == y_ref.shape, (kw, y.shape, y_ref.shape)
+        assert _rel_err(y, y_ref) < 1e-5, (kw, _rel_err(y, y_ref))
+
+
+def test_antialiased_lrelu_matches_reference_layer():
+    """Our AntiAliasedLReLu (Kaiser filter design + symmetric-interpretation
+    padding + filtered_lrelu) vs the reference `LReLu` layer
+    (`training/filtered_networks.py:199-311`) — same-size, upsampling and
+    downsampling configurations with the CNO cutoff law."""
+    fn = _import_cno_ref("training.filtered_networks")
+    from pregen_pde_tpu.models.cno import AntiAliasedLReLu
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    den, hw_mult = 2.0001, 0.8
+    for in_size, out_size in ((8, 8), (8, 16), (16, 8)):
+        cin, cout = in_size / den, out_size / den
+        tm = fn.LReLu(
+            in_channels=3, out_channels=3, in_size=in_size, out_size=out_size,
+            in_sampling_rate=in_size, out_sampling_rate=out_size,
+            in_cutoff=cin, out_cutoff=cout,
+            in_half_width=hw_mult * in_size - cin,
+            out_half_width=hw_mult * out_size - cout,
+        ).eval()
+        with torch.no_grad():
+            tm.bias.copy_(torch.from_numpy(
+                rng.normal(size=(3,)).astype(np.float32)))
+
+        x = rng.normal(size=(2, in_size, in_size, 3)).astype(np.float32)
+        with torch.no_grad():
+            y_ref = _nhwc(tm(_nchw(x)))
+
+        ours = AntiAliasedLReLu(
+            channels=3, in_size=in_size, out_size=out_size,
+            in_cutoff=cin, out_cutoff=cout,
+            in_half_width=hw_mult * in_size - cin,
+            out_half_width=hw_mult * out_size - cout,
+        )
+        params = {"bias": jnp.asarray(_t2n(tm.bias))}
+        y = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+        assert y.shape == y_ref.shape, (in_size, out_size, y.shape, y_ref.shape)
+        assert _rel_err(y, y_ref) < 1e-5, (in_size, out_size, _rel_err(y, y_ref))

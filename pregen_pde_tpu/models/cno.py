@@ -142,10 +142,12 @@ class FILM(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array) -> jax.Array:
         if self.norm == "instance":
+            # epsilon 1e-5 = torch InstanceNorm2d's default (flax defaults to
+            # 1e-6); pinned by the cross-implementation oracle test
             x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=True,
-                             use_scale=True)(x)
+                             use_scale=True, epsilon=1e-5)(x)
         elif self.norm == "layer":
-            x = nn.LayerNorm(reduction_axes=(-3, -2, -1))(x)
+            x = nn.LayerNorm(reduction_axes=(-3, -2, -1), epsilon=1e-5)(x)
         elif self.norm == "batch":
             # per-channel stats over (batch, H, W); affine learnable like
             # torch BatchNorm2d, but no running averages (stateless)

@@ -414,3 +414,167 @@ def test_antialiased_lrelu_matches_reference_layer():
         y = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
         assert y.shape == y_ref.shape, (in_size, out_size, y.shape, y_ref.shape)
         assert _rel_err(y, y_ref) < 1e-5, (in_size, out_size, _rel_err(y, y_ref))
+
+
+# ---------------------------------------------------------------------------
+# CNO full model
+# ---------------------------------------------------------------------------
+
+
+def _import_cno_model():
+    """Import the reference `CNO_timeModule_CIN` with stand-ins for its
+    training-only imports (pytorch_lightning, netCDF4) that are absent here —
+    only the nn.Module model tree is exercised."""
+    import types
+
+    import torch.nn as tnn
+
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(tnn.Module):
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+            def log(self, *a, **k):
+                pass
+
+        pl.LightningModule = LightningModule
+        pl.seed_everything = lambda *a, **k: None
+        sys.modules["pytorch_lightning"] = pl
+    for name in ("netCDF4", "h5py"):
+        try:
+            __import__(name)
+        except ImportError:
+            stub = types.ModuleType(name)
+            stub.Dataset = object
+            stub.File = object
+            sys.modules[name] = stub
+    return _import_cno_ref("CNO_timeModule_CIN")
+
+
+def test_cno_matches_reference_forward():
+    """Transplant reference CNO_time weights into our CNO; same input + lead
+    time → same output.
+
+    Pins the full wiring (`CNO_timeModule_CIN.py:514-884`): lift → per-level
+    [res blocks, (D)] with skips → neck res blocks — which the reference
+    executes in REVERSE creation order (`res_nets[-j-1]`, `:866-867`; the
+    transplant maps our neck block j to torch block n_res_neck−1−j) →
+    decoder [(I) ED_expansion + concat, (inv), (U)] → concat skip0 → project;
+    FILM = InstanceNorm(affine, eps 1e-5) + zero-init time MLPs (`:27-70`,
+    randomized here so mis-wiring cannot hide); anti-aliased activations with
+    the cutoff law cutoff=size/2.0001, half_width=0.8·size−cutoff
+    (`:312-320`).
+    """
+    ref = _import_cno_model()
+    torch.manual_seed(0)
+    nl, n_res, n_res_neck, mult = 2, 1, 2, 8
+    tm = ref.CNO_time(
+        in_dim=6, in_size=16, N_layers=nl, N_res=n_res,
+        N_res_neck=n_res_neck, channel_multiplier=mult,
+        latent_lift_proj_dim=8, out_dim=3, batch_norm=1,
+        is_time=1, nl_dim=[2, 3], activation="cno_lrelu",
+    ).eval()
+    with torch.no_grad():  # randomize so zero-init FILM MLPs can't mask bugs
+        g = torch.Generator().manual_seed(7)
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(2, 16, 16, 6)).astype(np.float32)
+    t = np.asarray([0.25, 0.75], np.float32)
+    with torch.no_grad():
+        y_ref = _nhwc(tm(_nchw(x), torch.from_numpy(t)))
+
+    from pregen_pde_tpu.models.cno import CNO
+
+    import jax
+    import jax.numpy as jnp
+
+    ours = CNO(
+        in_size=16, out_dim=3, n_layers=nl, n_res=n_res,
+        n_res_neck=n_res_neck, channel_multiplier=mult,
+        latent_lift_proj_dim=8, use_time=True, norm="instance",
+    )
+    params = jax.jit(ours.init)(
+        jax.random.key(0), jnp.asarray(x), jnp.asarray(t)
+    )["params"]
+
+    def conv(c):  # torch Conv2d -> flax Conv
+        return {"kernel": np.transpose(_t2n(c.weight), (2, 3, 1, 0)),
+                "bias": _t2n(c.bias)}
+
+    def lin(l):  # torch Linear -> flax Dense
+        return {"kernel": _t2n(l.weight).T, "bias": _t2n(l.bias)}
+
+    def film(f):  # reference FILM -> our FILM
+        return {
+            "GroupNorm_0": {"scale": _t2n(f.norm.weight),
+                            "bias": _t2n(f.norm.bias)},
+            "Dense_0": lin(f.inp2lat_sacale),
+            "Dense_1": lin(f.lat2scale),
+            "Dense_2": lin(f.inp2lat_bias),
+            "Dense_3": lin(f.lat2bias),
+        }
+
+    def cno_block(b):  # reference CNOBlock (is_time) -> our CNOBlock
+        return {
+            "Conv_0": conv(b.convolution),
+            "FILM_0": film(b.in_norm_conditiner),
+            "AntiAliasedLReLu_0": {"bias": _t2n(b.activation.bias)},
+        }
+
+    def lift_block(b):  # reference LiftProjectBlock (no time conditioning)
+        return {
+            "CNOBlock_0": {
+                "Conv_0": conv(b.inter_CNOBlock.convolution),
+                "AntiAliasedLReLu_0": {
+                    "bias": _t2n(b.inter_CNOBlock.activation.bias)},
+            },
+            "Conv_0": conv(b.convolution),
+        }
+
+    def res_block(b):  # reference ResidualBlock -> our ResidualBlock
+        return {
+            "Conv_0": conv(b.convolution1),
+            "FILM_0": film(b.in_norm_conditiner1),
+            "AntiAliasedLReLu_0": {"bias": _t2n(b.activation.bias)},
+            "Conv_1": conv(b.convolution2),
+            "FILM_1": film(b.in_norm_conditiner2),
+        }
+
+    new = dict(params)
+    new["LiftProjectBlock_0"] = lift_block(tm.lift)
+    new["LiftProjectBlock_1"] = lift_block(tm.project)
+    # ResidualBlock_{l*n_res+r}: encoder level l rep r; then the neck, whose
+    # execution order in the reference is reversed creation order
+    ridx = 0
+    for l in range(nl):
+        for r in range(n_res):
+            new[f"ResidualBlock_{ridx}"] = res_block(tm.res_nets[l * n_res + r])
+            ridx += 1
+    for j in range(n_res_neck):
+        new[f"ResidualBlock_{ridx}"] = res_block(
+            tm.res_nets[nl * n_res + (n_res_neck - 1 - j)])
+        ridx += 1
+    # CNOBlocks in call order: encoder (D) ×nl, then per decoder level
+    # [expansion, inv, (U)], then the final skip0 expansion
+    cidx = 0
+    for i in range(nl):
+        new[f"CNOBlock_{cidx}"] = cno_block(tm.encoder[i])
+        cidx += 1
+    for i in range(nl):
+        new[f"CNOBlock_{cidx}"] = cno_block(tm.ED_expansion[nl - i])
+        cidx += 1
+        new[f"CNOBlock_{cidx}"] = cno_block(tm.decoder_inv[i])
+        cidx += 1
+        new[f"CNOBlock_{cidx}"] = cno_block(tm.decoder[i])
+        cidx += 1
+    new[f"CNOBlock_{cidx}"] = cno_block(tm.ED_expansion[0])
+
+    y = np.asarray(
+        ours.apply({"params": new}, jnp.asarray(x), jnp.asarray(t))
+    )
+    assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
+    assert _rel_err(y, y_ref) < 5e-4, _rel_err(y, y_ref)

@@ -393,9 +393,11 @@ def scot_drop_path_rates(depths: Sequence[int], rate: float):
     (`scOT/model.py:926-947` encoder, `:1061-1082` decoder):
     linspace(0, rate, 2·sum(depths)); encoder takes the first half in layer
     order; the decoder takes the second half, sliced per stage as
-    dpr[sum(depths[i+1:]) : sum(depths[i:])] and REVERSED within each stage
-    (`:847`, the reference's own "TODO: reverse..."). Returns
-    (enc[(stage, blk)], dec[(stage, blk)]) rate dicts."""
+    dpr[sum(depths[i+1:]) : sum(depths[i:])]. Within a decode stage the two
+    reversals cancel: blocks are CONSTRUCTED `for i in reversed(range(depth))`
+    with `drop_path[depth-1-i]` (`:841-851`), so execution-order block j gets
+    stage_slice[j] — straight. Returns (enc[(stage, blk)], dec[(stage, blk)])
+    rate dicts keyed by (dim-level stage i, execution-order block b)."""
     total = 2 * sum(depths)
     full = np.linspace(0.0, rate, total) if total else np.zeros(0)
     half = total // 2
@@ -408,7 +410,7 @@ def scot_drop_path_rates(depths: Sequence[int], rate: float):
         lo = sum(depths[i + 1 :])
         stage = dec_flat[lo : lo + d]
         for b in range(d):
-            dec[(i, b)] = float(stage[d - 1 - b])
+            dec[(i, b)] = float(stage[b])
     return enc, dec
 
 
@@ -491,10 +493,13 @@ class ScOT(nn.Module):
         # embeddings dropout (`:316,338`)
         x = nn.Dropout(cfg.hidden_dropout_prob, deterministic=det)(x)
 
-        # encoder: collect skips BEFORE each downsample
+        # encoder: collect skips BEFORE each downsample; the downsample input
+        # additionally carries a stage-level residual — the reference merges
+        # `hidden_states_before_downsampling + inputs` (`scOT/model.py:797-800`)
         skips = []
         for i in range(L):
             dim = cfg.embed_dim * 2**i
+            stage_in = x
             for d in range(cfg.depths[i]):
                 x = SwinLayerV2(
                     dim=dim, num_heads=cfg.num_heads[i],
@@ -507,7 +512,9 @@ class ScOT(nn.Module):
                 )(x, time, det)
             skips.append(x)
             if i < L - 1:
-                x = PatchMerging(dim, uc, name=f"enc_{i}_merge")(x, time)
+                x = PatchMerging(dim, uc, name=f"enc_{i}_merge")(
+                    x + stage_in, time
+                )
 
         # residual skip paths (depth per scale; 0 → identity)
         for i in range(L):
@@ -516,7 +523,11 @@ class ScOT(nn.Module):
                     cfg.embed_dim * 2**i, uc, name=f"skip_{i}_blk_{d}",
                 )(skips[i], time)
 
-        # decoder: deepest → shallowest, additive skips, unmerge after blocks
+        # decoder: deepest → shallowest, additive skips, unmerge after blocks.
+        # Decode-stage blocks are CONSTRUCTED `for i in reversed(range(depth))`
+        # in the reference (`scOT/model.py:841-851`), so execution-order block
+        # d has shift_size from i = depth-1-d — for the even depths of every
+        # reference scale the stage STARTS with a shifted block.
         x = skips[-1]
         for j, i in enumerate(reversed(range(L))):
             dim = cfg.embed_dim * 2**i
@@ -525,7 +536,8 @@ class ScOT(nn.Module):
             for d in range(cfg.depths[i]):
                 x = SwinLayerV2(
                     dim=dim, num_heads=cfg.num_heads[i],
-                    window_size=cfg.window_size, shift=(d % 2 == 1),
+                    window_size=cfg.window_size,
+                    shift=((cfg.depths[i] - 1 - d) % 2 == 1),
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
                     use_conditioning=uc, drop_path=dec_dpr[(i, d)],
                     hidden_dropout=cfg.hidden_dropout_prob,

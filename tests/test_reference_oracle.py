@@ -578,3 +578,162 @@ def test_cno_matches_reference_forward():
     )
     assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
     assert _rel_err(y, y_ref) < 5e-4, _rel_err(y, y_ref)
+
+
+# ---------------------------------------------------------------------------
+# scOT / Poseidon full model
+# ---------------------------------------------------------------------------
+
+POS = os.path.join(REF, "Poseidon_mixing_Exp")
+
+
+def test_scot_matches_reference_forward():
+    """Transplant reference ScOT weights into our flax ScOT; same input +
+    lead time → same output.
+
+    Pins the full wiring (`scOT/model.py`): patchify + ConditionalLayerNorm
+    (`:219-340`), Swin-V2 cosine attention with log-CPB (HF internals), the
+    encoder's stage residual INTO patch merging
+    (`hidden_states_before_downsampling + inputs`, `:797-800`), decode-stage
+    blocks constructed in reversed order (shift starts ON for even depths,
+    straight dpr; `:841-851`), ConvNeXt skip blocks (`:133-187`), additive
+    decoder skips (`:1125-1127`), PatchUnmerging pixel shuffle (`:665-710`),
+    Pangu patch recovery + 5×5 mixup (`:534-597`), and learn_residual
+    (`:1356-1360`).
+    """
+    sys.path.insert(0, POS)
+    try:
+        ref = importlib.import_module("scOT.model")
+    finally:
+        sys.path.remove(POS)
+
+    torch.manual_seed(0)
+    depths, heads = [2, 2], [2, 2]
+    tcfg = ref.ScOTConfig(
+        image_size=32, patch_size=4, num_channels=4, num_out_channels=3,
+        embed_dim=8, depths=depths, num_heads=heads, skip_connections=[1, 0],
+        window_size=4, mlp_ratio=4.0, qkv_bias=True,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.1, use_absolute_embeddings=False,
+        layer_norm_eps=1e-5, p=1, channel_slice_list_normalized_loss=None,
+        residual_model="convnext", use_conditioning=True, learn_residual=True,
+    )
+    tm = ref.ScOT(tcfg).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(11)
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(2, 32, 32, 4)).astype(np.float32)
+    t = np.asarray([0.3, 0.9], np.float32)
+    with torch.no_grad():
+        y_ref = _nhwc(
+            tm(pixel_values=_nchw(x), time=torch.from_numpy(t)).output
+        )
+
+    from pregen_pde_tpu.models.scot import ScOT, ScOTConfig
+
+    import jax
+    import jax.numpy as jnp
+
+    ours = ScOT(ScOTConfig(
+        image_size=32, patch_size=4, num_channels=4, num_out_channels=3,
+        embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+        skip_connections=(1, 0), window_size=4, use_conditioning=True,
+        learn_residual=True, drop_path_rate=0.1,
+    ))
+    params = jax.jit(ours.init)(
+        jax.random.key(0), jnp.asarray(x), jnp.asarray(t)
+    )["params"]
+
+    def dense(l, bias=True):
+        d = {"kernel": _t2n(l.weight).T}
+        if bias:
+            d["bias"] = _t2n(l.bias)
+        return d
+
+    def cln(m):  # reference ConditionalLayerNorm -> our CondLayerNorm
+        return {"time_scale": dense(m.weight), "time_bias": dense(m.bias)}
+
+    def attn(a):  # HF Swinv2Attention -> our WindowAttentionV2
+        return {
+            "query": dense(a.self.query),
+            "key": dense(a.self.key, bias=False),
+            "value": dense(a.self.value),
+            "proj": dense(a.output.dense),
+            "logit_scale": _t2n(a.self.logit_scale),
+            "cpb_mlp1": dense(a.self.continuous_position_bias_mlp[0]),
+            "cpb_mlp2": dense(a.self.continuous_position_bias_mlp[2],
+                              bias=False),
+        }
+
+    def swin(b):  # reference ScOTLayer -> our SwinLayerV2
+        return {
+            "attention": attn(b.attention),
+            "norm1": cln(b.layernorm_before),
+            "mlp1": dense(b.intermediate.dense),
+            "mlp2": dense(b.output.dense),
+            "norm2": cln(b.layernorm_after),
+        }
+
+    def convnext(b):  # reference ConvNeXtBlock -> our ConvNeXtBlock
+        return {
+            "dwconv": {"kernel": np.transpose(_t2n(b.dwconv.weight),
+                                              (2, 3, 1, 0)),
+                       "bias": _t2n(b.dwconv.bias)},
+            "norm": cln(b.norm),
+            "pwconv1": dense(b.pwconv1),
+            "pwconv2": dense(b.pwconv2),
+            "layer_scale": _t2n(b.weight),
+        }
+
+    L = len(depths)
+    new = dict(params)
+    new["patch_embed"] = {
+        "kernel": np.transpose(_t2n(tm.embeddings.patch_embeddings.projection.weight),
+                               (2, 3, 1, 0)),
+        "bias": _t2n(tm.embeddings.patch_embeddings.projection.bias),
+    }
+    new["embed_norm"] = cln(tm.embeddings.norm)
+    for i in range(L):
+        stage = tm.encoder.layers[i]
+        for d in range(depths[i]):
+            new[f"enc_{i}_blk_{d}"] = swin(stage.blocks[d])
+        if i < L - 1:
+            new[f"enc_{i}_merge"] = {
+                "reduction": dense(stage.downsample.reduction, bias=False),
+                "norm": cln(stage.downsample.norm),
+            }
+    for i in range(L):
+        for d, blk in enumerate(tm.residual_blocks[i]):
+            if blk.__class__.__name__ == "Identity":
+                continue
+            new[f"skip_{i}_blk_{d}"] = convnext(blk)
+    for j in range(L):  # decoder.layers[j] covers dim level i = L-1-j
+        i = L - 1 - j
+        stage = tm.decoder.layers[j]
+        for d in range(depths[i]):
+            new[f"dec_{i}_blk_{d}"] = swin(stage.blocks[d])
+        if i > 0:
+            new[f"dec_{i}_unmerge"] = {
+                "upsample": dense(stage.upsample.upsample, bias=False),
+                "norm": cln(stage.upsample.norm),
+                "mixup": dense(stage.upsample.mixup, bias=False),
+            }
+    # flax ConvTranspose treats the kernel as a convolution kernel; torch's
+    # ConvTranspose2d is the conv gradient — spatially flipped. Flip to map.
+    new["patch_recovery"] = {
+        "kernel": np.ascontiguousarray(
+            np.transpose(_t2n(tm.patch_recovery.projection.weight),
+                         (2, 3, 0, 1))[::-1, ::-1]),
+        "bias": _t2n(tm.patch_recovery.projection.bias),
+    }
+    new["recovery_mixup"] = {
+        "kernel": np.transpose(_t2n(tm.patch_recovery.mixup.weight),
+                               (2, 3, 1, 0)),
+    }
+
+    y = np.asarray(ours.apply({"params": new}, jnp.asarray(x), jnp.asarray(t)))
+    assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
+    assert _rel_err(y, y_ref) < 5e-4, _rel_err(y, y_ref)

@@ -156,8 +156,11 @@ def test_drop_path_rates_match_reference_law():
     """Per-layer stochastic-depth rates ≡ `scOT/model.py:926-947,1061-1082`:
     linspace(0, rate, 2·sum(depths)); encoder = first half in layer order;
     decoder = second half sliced dpr[sum(depths[i+1:]):sum(depths[i:])] per
-    stage and reversed within the stage (`:847`). Recomputed independently
-    here (torch.linspace ≡ np.linspace, endpoints included)."""
+    stage. Within a decode stage the construction's two reversals cancel
+    (`:841-851`: blocks built `for i in reversed(range(depth))` with
+    `drop_path[depth-1-i]`) → execution-order block b gets stage[b].
+    Recomputed independently here (torch.linspace ≡ np.linspace, endpoints
+    included)."""
     from pregen_pde_tpu.models.scot import scot_drop_path_rates
 
     depths, rate = (4, 4, 4, 4), 0.1
@@ -169,7 +172,7 @@ def test_drop_path_rates_match_reference_law():
             assert np.isclose(enc[(i, b)], enc_flat[sum(depths[:i]) + b]), (i, b)
             lo = sum(depths[i + 1:])
             stage = dec_flat[lo:lo + depths[i]]
-            assert np.isclose(dec[(i, b)], stage[depths[i] - 1 - b]), (i, b)
+            assert np.isclose(dec[(i, b)], stage[b]), (i, b)
     # spot values: encoder starts at 0, last decoder stage reaches `rate`
     assert enc[(0, 0)] == 0.0
     assert np.isclose(max(dec.values()), rate)

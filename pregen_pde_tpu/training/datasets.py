@@ -139,8 +139,10 @@ class TimePairDataset:
         if cfg.fix_input_to_time_step is None:
             t1, t2 = self.time_indices[t_idx]
         else:
+            # ≡ `scOT/problems/base.py:328-340` _idx_map: t2 carries the
+            # fixed-input offset
             t1 = cfg.fix_input_to_time_step
-            t2 = cfg.time_step_size * (t_idx + 1)
+            t2 = cfg.time_step_size * (t_idx + 1) + t1
         time = (t2 - t1) / TIME_NORMALIZER
 
         sample = self.data[i + self.start]  # (T, H, W, 6)

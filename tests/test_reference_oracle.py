@@ -737,3 +737,91 @@ def test_scot_matches_reference_forward():
     y = np.asarray(ours.apply({"params": new}, jnp.asarray(x), jnp.asarray(t)))
     assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
     assert _rel_err(y, y_ref) < 5e-4, _rel_err(y, y_ref)
+
+
+# ---------------------------------------------------------------------------
+# time-pair indexing scheme + metrics
+# ---------------------------------------------------------------------------
+
+
+def test_time_pair_indexing_matches_reference():
+    """Our time-pair enumeration and index decomposition vs the ACTUAL
+    reference `BaseTimeDataset.post_init/_idx_map`
+    (`scOT/problems/base.py:328-392`), across transition sets, step sizes
+    and the fix_input_to_time_step mode."""
+    sys.path.insert(0, POS)
+    try:
+        base = importlib.import_module("scOT.problems.base")
+    finally:
+        sys.path.remove(POS)
+
+    from pregen_pde_tpu.training.datasets import (
+        TimePairConfig, build_time_indices,
+    )
+
+    class Tiny(base.BaseTimeDataset):
+        def __init__(self, max_steps, step_size, allowed, fix=None):
+            super().__init__(
+                which="train", num_trajectories=3,
+                max_num_time_steps=max_steps, time_step_size=step_size,
+                fix_input_to_time_step=fix,
+                allowed_time_transitions=allowed,
+            )
+            self.N_max, self.N_val, self.N_test = 10, 2, 2
+            self.label_description = "[u],[v]"
+            self.post_init()
+
+        def __getitem__(self, idx):  # pragma: no cover - not used
+            return {}
+
+    cases = [
+        (7, 1, [1, 2]), (7, 2, [1, 2, 3]), (20, 1, [1]),
+        (5, 1, [1, 2, 3, 4, 5]), (10, 2, [2]),
+    ]
+    for max_steps, step, allowed in cases:
+        tref = Tiny(max_steps, step, allowed)
+        ours = build_time_indices(TimePairConfig(
+            max_num_time_steps=max_steps, time_step_size=step,
+            allowed_transitions=allowed,
+        ))
+        assert ours == [tuple(p) for p in tref.time_indices], (
+            max_steps, step, allowed)
+        # index decomposition: trajectory + (t, t1, t2)
+        for idx in range(0, tref.multiplier * 3, max(1, tref.multiplier // 3)):
+            i, t, t1, t2 = tref._idx_map(idx)
+            assert i == idx // tref.multiplier
+            assert (t1, t2) == ours[idx % tref.multiplier]
+            assert t == t2 - t1
+
+    # fix_input_to_time_step mode: multiplier = max_num_time_steps and
+    # t2 = step·(idx+1) + fix (`base.py:328-340`)
+    tref = Tiny(6, 2, None, fix=3)
+    assert tref.multiplier == 6
+    for idx in range(12):
+        i, t, t1, t2 = tref._idx_map(idx)
+        assert t1 == 3 and t2 == 2 * (idx % 6 + 1) + 3 and t == t2 - t1
+
+
+def test_metrics_match_reference():
+    """Our relative Lp metrics vs the ACTUAL reference `scOT/metrics.py`
+    (NCHW there, NHWC here), p ∈ {1, 2}."""
+    sys.path.insert(0, POS)
+    try:
+        met = importlib.import_module("scOT.metrics")
+    finally:
+        sys.path.remove(POS)
+
+    from pregen_pde_tpu.training import metrics as ours
+
+    rng = np.random.default_rng(13)
+    pred = rng.normal(size=(6, 3, 9, 9)).astype(np.float64)
+    targ = rng.normal(size=(6, 3, 9, 9)).astype(np.float64) + 0.5
+    for p in (1, 2):
+        r_ref = met.relative_lp_error(pred, targ, p=p, return_percent=True)
+        r = ours.relative_lp_error(
+            np.transpose(pred, (0, 2, 3, 1)), np.transpose(targ, (0, 2, 3, 1)),
+            p=p,
+        )
+        assert _rel_err(r, r_ref) < 1e-10, (p, _rel_err(r, r_ref))
+        assert abs(np.median(r) - met.median_relative_lp_error(pred, targ, p=p)) < 1e-9
+        assert abs(np.mean(r) - met.mean_relative_lp_error(pred, targ, p=p)) < 1e-9

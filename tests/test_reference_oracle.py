@@ -8,6 +8,15 @@ form of parity evidence: not "same architecture family" but "same function".
 Covered here:
 - FNO  (`Autoregressive_Baseline_Scripts/models/FNO.py`)  vs `models/fno.py`
 - FFNO (`Autoregressive_Baseline_Scripts/models/FFNO.py`) vs `models/ffno.py`
+- upfirdn2d / bias_act / filtered_lrelu / anti-aliased LReLu layer
+  (`CNO_Experiments/torch_utils/ops`, `training/filtered_networks.py`)
+  vs `ops/` + `models/cno.py::AntiAliasedLReLu`
+- CNO full model (`CNO_timeModule_CIN.py`) vs `models/cno.py::CNO`
+- scOT full model (`Poseidon_mixing_Exp/scOT/model.py`) vs `models/scot.py`
+- time-pair indexing (`scOT/problems/base.py`) and metrics
+  (`scOT/metrics.py`) vs `training/datasets.py` / `training/metrics.py`
+- h5-backed benchmark loaders (`DataLoaders/CNO_TimeLoaders.py`) vs
+  `training/benchmark_datasets.py` on shared synthetic containers
 
 The reference tree is read-only public content mounted in the dev/judge
 environment; these tests self-skip when it is absent. No reference code is
@@ -825,3 +834,108 @@ def test_metrics_match_reference():
         assert _rel_err(r, r_ref) < 1e-10, (p, _rel_err(r, r_ref))
         assert abs(np.median(r) - met.median_relative_lp_error(pred, targ, p=p)) < 1e-9
         assert abs(np.mean(r) - met.mean_relative_lp_error(pred, targ, p=p)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# benchmark dataset loaders (h5-backed families) vs the actual reference
+# ---------------------------------------------------------------------------
+
+
+def _import_timeloaders():
+    """Import `DataLoaders.CNO_TimeLoaders`; its netCDF4 import is only used
+    by the nc-variable families (absent module here), so stub it — the
+    h5py-backed classes under test never touch it."""
+    import types
+
+    try:
+        __import__("netCDF4")
+    except ImportError:
+        stub = types.ModuleType("netCDF4")
+        stub.Dataset = object
+        sys.modules["netCDF4"] = stub
+    return _import_cno_ref("DataLoaders.CNO_TimeLoaders")
+
+
+def test_gaussians_loader_matches_reference(tmp_path):
+    """Our registry loader (`training/benchmark_datasets.py`, ns_gauss entry)
+    vs the ACTUAL reference `GaussiansTimeDataset`
+    (`CNO_TimeLoaders.py:548-618`) on the same synthetic h5 `sample_<i>`
+    container: identical (time, input, label) samples including z-score
+    constants, time normalization /20 and the lead-time channel."""
+    tl = _import_timeloaders()
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(20)
+    res, n, T = 16, 4, 21
+    with h5py.File(tmp_path / "gauss.nc", "w") as f:
+        for i in range(n):
+            f.create_dataset(
+                f"sample_{i}", data=rng.normal(size=(T, 2, res, res)).astype(
+                    np.float32))
+
+    tref = tl.GaussiansTimeDataset(
+        which="train", resolution=res, num_trajectories=2,
+        data_path=str(tmp_path), time_input=True,
+        max_num_time_steps=4, time_step_size=2, allowed_transitions=[1, 2],
+    )
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    ours = get_dataset(
+        "ns_gauss", str(tmp_path), "train", num_trajectories=2,
+        cfg=TimePairConfig(max_num_time_steps=4, time_step_size=2,
+                           allowed_transitions=[1, 2], n_val=1, n_test=1),
+    )
+    assert len(ours) == len(tref) == 2 * tref.multiplier
+    for idx in range(len(tref)):
+        t_ref, in_ref, lab_ref = tref[idx]
+        t, inp, lab = ours[idx]
+        assert abs(float(t) - float(t_ref)) < 1e-7, idx
+        np.testing.assert_allclose(
+            inp, np.transpose(_t2n(in_ref), (1, 2, 0)), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            lab, np.transpose(_t2n(lab_ref), (1, 2, 0)), rtol=1e-6, atol=1e-6)
+
+
+def test_wave_seismic_loader_matches_reference(tmp_path):
+    """Our wave-family loader vs the ACTUAL reference `WaveSeismic`
+    (`CNO_TimeLoaders.py:1467-1536`): separate c-channel normalization,
+    c appended to input AND label, time /20."""
+    tl = _import_timeloaders()
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(21)
+    res, n, T = 128, 3, 21
+    wdir = tmp_path / "wave_equation"
+    wdir.mkdir()
+    with h5py.File(wdir / "seismic_20step.nc", "w") as f:
+        f.create_dataset("solution",
+                         data=rng.normal(size=(n, T, res, res)).astype(np.float32))
+        f.create_dataset("c",
+                         data=(3000 + 600 * rng.normal(size=(n, res, res))).astype(
+                             np.float32))
+
+    tref = tl.WaveSeismic(
+        which="train", resolution=res, num_trajectories=2,
+        data_path=str(tmp_path), time_input=True,
+        max_num_time_steps=5, time_step_size=2, allowed_transitions=[1, 2],
+    )
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    ours = get_dataset(
+        "wave_seismic", str(tmp_path), "train", num_trajectories=2,
+        cfg=TimePairConfig(max_num_time_steps=5, time_step_size=2,
+                           allowed_transitions=[1, 2], n_val=1, n_test=1),
+    )
+    assert len(ours) == len(tref)
+    for idx in range(0, len(tref), 3):
+        t_ref, in_ref, lab_ref = tref[idx]
+        t, inp, lab = ours[idx]
+        assert abs(float(t) - float(t_ref)) < 1e-7, idx
+        np.testing.assert_allclose(
+            inp, np.transpose(_t2n(in_ref), (1, 2, 0)), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            lab, np.transpose(_t2n(lab_ref), (1, 2, 0)), rtol=1e-5, atol=1e-5)

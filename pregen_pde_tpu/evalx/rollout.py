@@ -34,13 +34,16 @@ def rollout_pattern(
     time_step_size: int = 1,
     pixel_mask: jax.Array | None = None,
     forced_labels: Sequence[jax.Array] | None = None,
+    time_normalizer: float = TIME_NORMALIZER,
 ) -> list[jax.Array]:
     """Run the AR pattern, returning the prediction after each jump.
 
     The prediction overwrites input channels [0, out_channels); the lead-time
-    channel (last) is rewritten each step to jump·time_step_size/19 — matching
-    the training-time convention where (t1, t2) are already time_step_size
-    multiples (reference `TestCNO_ALL.py:124-188`).
+    channel (last) is rewritten each step to
+    jump·time_step_size/time_normalizer — the reference's jump·delta with
+    delta = dt/max_steps (`TestCNO_ALL.py:88,141-146`). The normalizer is the
+    dataset's (19 for the generated contract; 20/15/10 for the benchmark
+    families — pass the spec's value).
 
     ``pixel_mask`` + ``forced_labels`` replicate the reference's
     prediction-level forcing (`scOT/model.py:1372-1374`): after each step,
@@ -51,7 +54,7 @@ def rollout_pattern(
     preds = []
     x = inp
     for s_idx, jump in enumerate(pattern):
-        lead = jump * time_step_size / TIME_NORMALIZER
+        lead = jump * time_step_size / time_normalizer
         t = jnp.full((x.shape[0],), lead, x.dtype)
         if time_channel:
             tch = jnp.full((*x.shape[:3], 1), lead, x.dtype)
@@ -104,6 +107,10 @@ def evaluate_patterns(
                 fwd, params, jnp.asarray(inp), pattern,
                 time_channel=time_channel, out_channels=out_channels,
                 time_step_size=dataset.cfg.time_step_size,
+                time_normalizer=float(
+                    getattr(getattr(dataset, "spec", None), "time_normalizer",
+                            TIME_NORMALIZER)
+                ),
             )
             lab = data[idx, t_final, :, :, :out_channels].astype(np.float32)
             lab = (lab - mean) / std

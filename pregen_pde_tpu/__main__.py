@@ -214,7 +214,8 @@ def _cmd_train(args):
         model = _make_model(args.model, data.shape[2])
         batcher = TrajectoryBatcher(data, steps=steps, mean=mean, std=std)
         loss_fn = make_ar_loss(model.apply, steps,
-                               teacher_forcing=args.teacher_forcing)
+                               teacher_forcing=args.teacher_forcing,
+                               final_label_only=args.ar_final_label_only)
         n = data.shape[0]
         bs = min(args.batch_size, n)
 
@@ -585,6 +586,11 @@ def main(argv=None):
     t.add_argument("--teacher-forcing", action="store_true",
                    help="feed ground truth back in AR training (baselines' "
                         "unroll) instead of the detached prediction")
+    t.add_argument("--ar-final-label-only", action="store_true",
+                   help="penalize every rollout step toward the final label "
+                        "(scOT trainer._model_forward's exact semantics: "
+                        "labels never updated in the loop) instead of "
+                        "per-step ground truth")
     t.add_argument("--compute-dtype", default=None,
                    choices=["bfloat16", "float32"],
                    help="mixed precision: bf16 compute, f32 master weights")

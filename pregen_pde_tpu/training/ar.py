@@ -31,12 +31,22 @@ def make_ar_loss(
     teacher_forcing: bool = False,
     detach_feedback: bool = True,
     p: int = 1,
+    final_label_only: bool = False,
 ):
     """Returns loss_fn(params, batch) for trajectory batches.
 
     batch: {"input": (B,H,W,Cin) frame at t=0 (incl. static channels and the
     lead-time channel last if time_channel), "labels": (B,K,H,W,out_channels)
     ground truth after each of the K steps}.
+
+    ``final_label_only=True`` is the scOT Trainer's EXACT AR-training
+    semantics (`scOT/trainer.py:234-403`): `inputs["labels"]` is never
+    updated in `_model_forward`'s loop, so EVERY intermediate prediction is
+    penalized toward the single final label (and only labels[:, -1] is
+    consulted here). The default supervises each step with its own ground
+    truth — the baselines' teacher-forced scheme
+    (`scripts/train.py:245-263`) and the more informative target when
+    per-step frames exist.
     """
     steps = list(steps)
     k_steps = len(steps)
@@ -52,7 +62,8 @@ def make_ar_loss(
                 tch = jnp.full((*x.shape[:3], 1), jump / TIME_NORMALIZER, x.dtype)
                 x = jnp.concatenate([x[..., :-1], tch], axis=-1)
             pred = apply_fn({"params": params}, x, t)
-            total = total + relative_lp_loss(pred, labels[:, s_idx], p=p)
+            target = labels[:, -1] if final_label_only else labels[:, s_idx]
+            total = total + relative_lp_loss(pred, target, p=p)
             feedback = labels[:, s_idx] if teacher_forcing else pred
             if detach_feedback and not teacher_forcing:
                 feedback = jax.lax.stop_gradient(feedback)

@@ -939,3 +939,111 @@ def test_wave_seismic_loader_matches_reference(tmp_path):
             inp, np.transpose(_t2n(in_ref), (1, 2, 0)), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(
             lab, np.transpose(_t2n(lab_ref), (1, 2, 0)), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# AR-rollout training orchestration (set_ar_steps/_model_forward)
+# ---------------------------------------------------------------------------
+
+
+def test_ar_loss_matches_reference_model_forward():
+    """Our `make_ar_loss(final_label_only=True)` vs the ACTUAL reference
+    `Trainer._model_forward` (`scOT/trainer.py:229-403`) driving identical
+    mock dynamics: detached prediction feedback with static-channel
+    carry-over, per-step losses accumulated against the SAME final label,
+    averaged over steps; int mode (time/n) and list mode."""
+    sys.path.insert(0, POS)
+    try:
+        rtr = importlib.import_module("scOT.trainer")
+        rmod = importlib.import_module("scOT.model")
+    finally:
+        sys.path.remove(POS)
+
+    import torch.nn as tnn
+
+    B, H, C_in, C_out = 2, 8, 5, 3
+    rng = np.random.default_rng(30)
+    x0 = rng.normal(size=(B, C_in, H, H)).astype(np.float32)
+    lab = rng.normal(size=(B, C_out, H, H)).astype(np.float32)
+    Wmix = rng.normal(size=(C_in, C_out)).astype(np.float32) * 0.3
+
+    class MockCfg:
+        num_channels = C_in
+        num_out_channels = C_out
+        use_conditioning = True
+
+    class MockModel(tnn.Module):
+        """pred = einsum(x, W) + time; loss = relative L1 vs labels."""
+
+        config = MockCfg()
+
+        def forward(self, pixel_values=None, time=None, labels=None, **kw):
+            pred = torch.einsum(
+                "bihw,io->bohw", pixel_values, torch.from_numpy(Wmix)
+            ) + time.reshape(-1, 1, 1, 1)
+            # per-sample relative L1, batch-meaned — the shared loss of
+            # record on both sides (losses.relative_lp_loss)
+            tl = torch.from_numpy(lab)
+            num = torch.sum(torch.abs(pred - tl), dim=(1, 2, 3))
+            den = torch.sum(torch.abs(tl), dim=(1, 2, 3)) + 1e-10
+            return rmod.ScOTOutput(loss=(num / den).mean(), output=pred)
+
+    trainer = object.__new__(rtr.Trainer)
+    mock = MockModel()
+    base_time = 0.6
+
+    def run_ref(ar_steps):
+        trainer.ar_steps = ar_steps
+        trainer.output_all_steps = False
+        with torch.no_grad():
+            out = trainer._model_forward(
+                mock,
+                {"pixel_values": torch.from_numpy(x0),
+                 "time": torch.full((B,), base_time),
+                 "labels": torch.from_numpy(lab)},
+            )
+        return float(out.loss), _t2n(out.output)
+
+    # ours: apply_fn replicating the mock dynamics in NHWC; time channel off
+    # (the scOT path conditions on the scalar time only)
+    from pregen_pde_tpu.training.ar import make_ar_loss
+
+    import jax.numpy as jnp
+
+    def apply_fn(_params, x, t):
+        return jnp.einsum("bhwi,io->bhwo", x, jnp.asarray(Wmix)) + t.reshape(
+            -1, 1, 1, 1
+        )
+
+    x0_nhwc = np.transpose(x0, (0, 2, 3, 1))
+    lab_nhwc = np.transpose(lab, (0, 2, 3, 1))
+
+    def run_ours(steps):
+        # jumps in TIME_NORMALIZER units so jump/19 reproduces the reference's
+        # per-step time values
+        from pregen_pde_tpu.training.datasets import TIME_NORMALIZER
+
+        jumps = [s * TIME_NORMALIZER for s in steps]
+        loss_fn = make_ar_loss(
+            apply_fn, jumps, out_channels=C_out, time_channel=False,
+            final_label_only=True,
+        )
+        labels = np.broadcast_to(
+            lab_nhwc[:, None], (B, len(steps), H, H, C_out)
+        )
+        return float(loss_fn(None, {
+            "input": jnp.asarray(x0_nhwc),
+            "labels": jnp.asarray(np.ascontiguousarray(labels)),
+        }))
+
+    # int mode: n homogeneous steps at time/n
+    for n in (2, 3):
+        loss_ref, _ = run_ref(n)
+        loss = run_ours([base_time / n] * n)
+        assert abs(loss - loss_ref) < 1e-5, (n, loss, loss_ref)
+
+    # list mode: time = lead·i per step
+    steps_list = [1, 2, 1]
+    loss_ref, _ = run_ref(steps_list)
+    loss = run_ours([base_time * i for i in steps_list])
+    assert abs(loss - loss_ref) < 1e-5, (loss, loss_ref)

@@ -126,33 +126,11 @@ def test_fno_matches_reference_forward():
         "params"
     ]
 
-    def dense(layer):  # torch Linear/1x1-Conv2d -> flax Dense
-        wt = _t2n(layer.weight)
-        if wt.ndim == 4:
-            wt = wt[:, :, 0, 0]
-        return {"kernel": wt.T.astype(np.float32),
-                "bias": _t2n(layer.bias).astype(np.float32)}
+    from pregen_pde_tpu.compat import import_fno_state_dict
 
-    def spectral(layer):  # torch SpectralConv2d -> flax SpectralConv2d
-        w1 = _t2n(layer.weights1)  # (I, O, m1, m2) complex
-        w2 = _t2n(layer.weights2)
-        perm = lambda w: np.transpose(w, (0, 2, 3, 1)).astype(np.complex128)
-        w1, w2 = perm(w1), perm(w2)
-        return {
-            "w_pos_re": w1.real.astype(np.float32),
-            "w_pos_im": w1.imag.astype(np.float32),
-            "w_neg_re": w2.real.astype(np.float32),
-            "w_neg_im": w2.imag.astype(np.float32),
-        }
-
-    new = dict(params)
-    new["Dense_0"] = dense(tm.fc0)
-    for k in range(n_layers):
-        new[f"SpectralConv2d_{k}"] = spectral(tm.spectral_list[k])
-        new[f"Dense_{k + 1}"] = dense(tm.conv_list[k])
-    new[f"Dense_{n_layers + 1}"] = dense(tm.fc1)
-    new[f"Dense_{n_layers + 2}"] = dense(tm.fc2)
-
+    new = import_fno_state_dict(
+        {k: _t2n(v) for k, v in tm.state_dict().items()}, n_layers
+    )
     y = np.asarray(
         ours.apply({"params": new}, jnp.asarray(x_ours, jnp.float32))
     ) * mask
@@ -211,35 +189,11 @@ def test_ffno_matches_reference_forward():
         "params"
     ]
 
-    def wn(layer):  # reference WNLinear -> flax WNDense
-        return {
-            "v": _t2n(layer.weight_v).T.astype(np.float32),
-            "g": _t2n(layer.weight_g)[:, 0].astype(np.float32),
-            "bias": _t2n(layer.bias).astype(np.float32),
-        }
+    from pregen_pde_tpu.compat import import_ffno_state_dict
 
-    # shared fourier weights: fourier_weight[0] acts on the H axis (M of
-    # [B,I,M,N], `FFNO.py:96-107`) ≡ our w_y; [1] on the W axis ≡ our w_x
-    def cplx(p):  # (I, O, m, 2) -> ours (I, m, O) re/im
-        w = _t2n(p)
-        c = w[..., 0] + 1j * w[..., 1]  # (I, O, m)
-        c = np.transpose(c, (0, 2, 1))
-        return c.real.astype(np.float32), c.imag.astype(np.float32)
-
-    wy_re, wy_im = cplx(tm.fourier_weight[0])
-    wx_re, wx_im = cplx(tm.fourier_weight[1])
-
-    new = dict(params)
-    new["in_proj"] = wn(tm.in_proj)
-    new["w_x_re"], new["w_x_im"] = wx_re, wx_im
-    new["w_y_re"], new["w_y_im"] = wy_re, wy_im
-    for i in range(n_layers):
-        ff = tm.spectral_layers[i].backcast_ff.net
-        new[f"ff_{i}_0"] = wn(ff[0])
-        new[f"ff_{i}_1"] = wn(ff[3])
-    new["head_0"] = wn(tm.out[0])
-    new["head_1"] = wn(tm.out[1])
-
+    new = import_ffno_state_dict(
+        {k: _t2n(v) for k, v in tm.state_dict().items()}, n_layers
+    )
     y = np.asarray(
         ours.apply({"params": new}, jnp.asarray(x_ours, jnp.float32))
     ) * mask
@@ -510,78 +464,12 @@ def test_cno_matches_reference_forward():
         jax.random.key(0), jnp.asarray(x), jnp.asarray(t)
     )["params"]
 
-    def conv(c):  # torch Conv2d -> flax Conv
-        return {"kernel": np.transpose(_t2n(c.weight), (2, 3, 1, 0)),
-                "bias": _t2n(c.bias)}
+    from pregen_pde_tpu.compat import import_cno_state_dict
 
-    def lin(l):  # torch Linear -> flax Dense
-        return {"kernel": _t2n(l.weight).T, "bias": _t2n(l.bias)}
-
-    def film(f):  # reference FILM -> our FILM
-        return {
-            "GroupNorm_0": {"scale": _t2n(f.norm.weight),
-                            "bias": _t2n(f.norm.bias)},
-            "Dense_0": lin(f.inp2lat_sacale),
-            "Dense_1": lin(f.lat2scale),
-            "Dense_2": lin(f.inp2lat_bias),
-            "Dense_3": lin(f.lat2bias),
-        }
-
-    def cno_block(b):  # reference CNOBlock (is_time) -> our CNOBlock
-        return {
-            "Conv_0": conv(b.convolution),
-            "FILM_0": film(b.in_norm_conditiner),
-            "AntiAliasedLReLu_0": {"bias": _t2n(b.activation.bias)},
-        }
-
-    def lift_block(b):  # reference LiftProjectBlock (no time conditioning)
-        return {
-            "CNOBlock_0": {
-                "Conv_0": conv(b.inter_CNOBlock.convolution),
-                "AntiAliasedLReLu_0": {
-                    "bias": _t2n(b.inter_CNOBlock.activation.bias)},
-            },
-            "Conv_0": conv(b.convolution),
-        }
-
-    def res_block(b):  # reference ResidualBlock -> our ResidualBlock
-        return {
-            "Conv_0": conv(b.convolution1),
-            "FILM_0": film(b.in_norm_conditiner1),
-            "AntiAliasedLReLu_0": {"bias": _t2n(b.activation.bias)},
-            "Conv_1": conv(b.convolution2),
-            "FILM_1": film(b.in_norm_conditiner2),
-        }
-
-    new = dict(params)
-    new["LiftProjectBlock_0"] = lift_block(tm.lift)
-    new["LiftProjectBlock_1"] = lift_block(tm.project)
-    # ResidualBlock_{l*n_res+r}: encoder level l rep r; then the neck, whose
-    # execution order in the reference is reversed creation order
-    ridx = 0
-    for l in range(nl):
-        for r in range(n_res):
-            new[f"ResidualBlock_{ridx}"] = res_block(tm.res_nets[l * n_res + r])
-            ridx += 1
-    for j in range(n_res_neck):
-        new[f"ResidualBlock_{ridx}"] = res_block(
-            tm.res_nets[nl * n_res + (n_res_neck - 1 - j)])
-        ridx += 1
-    # CNOBlocks in call order: encoder (D) ×nl, then per decoder level
-    # [expansion, inv, (U)], then the final skip0 expansion
-    cidx = 0
-    for i in range(nl):
-        new[f"CNOBlock_{cidx}"] = cno_block(tm.encoder[i])
-        cidx += 1
-    for i in range(nl):
-        new[f"CNOBlock_{cidx}"] = cno_block(tm.ED_expansion[nl - i])
-        cidx += 1
-        new[f"CNOBlock_{cidx}"] = cno_block(tm.decoder_inv[i])
-        cidx += 1
-        new[f"CNOBlock_{cidx}"] = cno_block(tm.decoder[i])
-        cidx += 1
-    new[f"CNOBlock_{cidx}"] = cno_block(tm.ED_expansion[0])
-
+    new = import_cno_state_dict(
+        {k: _t2n(v) for k, v in tm.state_dict().items()},
+        n_layers=nl, n_res=n_res, n_res_neck=n_res_neck,
+    )
     y = np.asarray(
         ours.apply({"params": new}, jnp.asarray(x), jnp.asarray(t))
     )
@@ -656,93 +544,11 @@ def test_scot_matches_reference_forward():
         jax.random.key(0), jnp.asarray(x), jnp.asarray(t)
     )["params"]
 
-    def dense(l, bias=True):
-        d = {"kernel": _t2n(l.weight).T}
-        if bias:
-            d["bias"] = _t2n(l.bias)
-        return d
+    from pregen_pde_tpu.compat import import_scot_state_dict
 
-    def cln(m):  # reference ConditionalLayerNorm -> our CondLayerNorm
-        return {"time_scale": dense(m.weight), "time_bias": dense(m.bias)}
-
-    def attn(a):  # HF Swinv2Attention -> our WindowAttentionV2
-        return {
-            "query": dense(a.self.query),
-            "key": dense(a.self.key, bias=False),
-            "value": dense(a.self.value),
-            "proj": dense(a.output.dense),
-            "logit_scale": _t2n(a.self.logit_scale),
-            "cpb_mlp1": dense(a.self.continuous_position_bias_mlp[0]),
-            "cpb_mlp2": dense(a.self.continuous_position_bias_mlp[2],
-                              bias=False),
-        }
-
-    def swin(b):  # reference ScOTLayer -> our SwinLayerV2
-        return {
-            "attention": attn(b.attention),
-            "norm1": cln(b.layernorm_before),
-            "mlp1": dense(b.intermediate.dense),
-            "mlp2": dense(b.output.dense),
-            "norm2": cln(b.layernorm_after),
-        }
-
-    def convnext(b):  # reference ConvNeXtBlock -> our ConvNeXtBlock
-        return {
-            "dwconv": {"kernel": np.transpose(_t2n(b.dwconv.weight),
-                                              (2, 3, 1, 0)),
-                       "bias": _t2n(b.dwconv.bias)},
-            "norm": cln(b.norm),
-            "pwconv1": dense(b.pwconv1),
-            "pwconv2": dense(b.pwconv2),
-            "layer_scale": _t2n(b.weight),
-        }
-
-    L = len(depths)
-    new = dict(params)
-    new["patch_embed"] = {
-        "kernel": np.transpose(_t2n(tm.embeddings.patch_embeddings.projection.weight),
-                               (2, 3, 1, 0)),
-        "bias": _t2n(tm.embeddings.patch_embeddings.projection.bias),
-    }
-    new["embed_norm"] = cln(tm.embeddings.norm)
-    for i in range(L):
-        stage = tm.encoder.layers[i]
-        for d in range(depths[i]):
-            new[f"enc_{i}_blk_{d}"] = swin(stage.blocks[d])
-        if i < L - 1:
-            new[f"enc_{i}_merge"] = {
-                "reduction": dense(stage.downsample.reduction, bias=False),
-                "norm": cln(stage.downsample.norm),
-            }
-    for i in range(L):
-        for d, blk in enumerate(tm.residual_blocks[i]):
-            if blk.__class__.__name__ == "Identity":
-                continue
-            new[f"skip_{i}_blk_{d}"] = convnext(blk)
-    for j in range(L):  # decoder.layers[j] covers dim level i = L-1-j
-        i = L - 1 - j
-        stage = tm.decoder.layers[j]
-        for d in range(depths[i]):
-            new[f"dec_{i}_blk_{d}"] = swin(stage.blocks[d])
-        if i > 0:
-            new[f"dec_{i}_unmerge"] = {
-                "upsample": dense(stage.upsample.upsample, bias=False),
-                "norm": cln(stage.upsample.norm),
-                "mixup": dense(stage.upsample.mixup, bias=False),
-            }
-    # flax ConvTranspose treats the kernel as a convolution kernel; torch's
-    # ConvTranspose2d is the conv gradient — spatially flipped. Flip to map.
-    new["patch_recovery"] = {
-        "kernel": np.ascontiguousarray(
-            np.transpose(_t2n(tm.patch_recovery.projection.weight),
-                         (2, 3, 0, 1))[::-1, ::-1]),
-        "bias": _t2n(tm.patch_recovery.projection.bias),
-    }
-    new["recovery_mixup"] = {
-        "kernel": np.transpose(_t2n(tm.patch_recovery.mixup.weight),
-                               (2, 3, 1, 0)),
-    }
-
+    new = import_scot_state_dict(
+        {k: _t2n(v) for k, v in tm.state_dict().items()}, ours.config
+    )
     y = np.asarray(ours.apply({"params": new}, jnp.asarray(x), jnp.asarray(t)))
     assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
     assert _rel_err(y, y_ref) < 5e-4, _rel_err(y, y_ref)

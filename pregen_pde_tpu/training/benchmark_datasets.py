@@ -33,6 +33,23 @@ carries the *exact* reference container format and constants:
   (label) (`:1374-1410`).
 - ``kind="airfoil"`` — HDF5 ``solution[idx, 0]`` → input (NOT normalized),
   ``solution[idx, 1]`` → normalized label (`:1416-1462`).
+- ``kind="velocity"`` — the Poseidon scOT-problems layout
+  (`scOT/problems/fluids/incompressible.py:153-290`): h5 ``velocity``
+  (N,T,C,H,W), 2 velocity channels lifted to [ρ≡1, u, v, p≡0] and z-scored
+  with the shared CONSTANTS; optional tracer = channel 2; ``transpose`` for
+  NS-SL; ``just_velocities`` skips the lift.
+- ``kind="kf"`` — scOT `KolmogorovFlow` (`:293-387`): ``solution[i,t,0:2]``
+  lifted + an analytic forcing channel 0.1·sin(2π(x+y)) z-scored with the
+  measured forcing stats.
+- scOT's compressible CE-* files reuse ``nc_data`` with a per-dataset
+  ``pressure_shift`` subtracted before the shared z-score
+  (`fluids/compressible.py:191-308`); RM/RT/wave/ACE/Poisson differ from the
+  CNO layout only by filename (``alt_filenames``).
+
+Both reference name grammars resolve here (``NAME_ALIASES``): CNO
+`load_utils` flat names (ns_sin, rich_mesh, ...) and scOT dotted names
+("fluids.compressible.KelvinHelmholtz", ... incl. the
+"fluids.incompressible.Gaussians.npz" → ns_custom identifier).
 
 netCDF reading: this environment has no `netCDF4` module. Poseidon's .nc
 files are netCDF-4 (= HDF5 containers), which h5py opens directly; classic
@@ -93,11 +110,15 @@ class BenchmarkSpec:
     time_dependent: bool = True
     max_time: int = 20  # max t index (frames per trajectory − 1)
     # kind-specific auxiliary constants:
-    aux_mean: float | None = None  # wave c / RT gravity
+    aux_mean: float | None = None  # wave c / RT gravity / KF forcing
     aux_std: float | None = None
     tracer_mean: float | None = None
     tracer_std: float | None = None
     has_tracer: bool = False
+    # Poseidon scOT-problems layout extras (`scOT/problems/`):
+    alt_filenames: Sequence[str] = ()  # other layouts' names for the file
+    pressure_shift: float | None = None  # CE-*: p −= shift pre-z-score
+    transpose: bool = False  # NS-SL: frames stored transposed
 
 
 # name → spec; reference class + line cited per entry
@@ -191,6 +212,99 @@ BENCHMARK_REGISTRY: dict[str, BenchmarkSpec] = {
     ),
 }
 
+# -- Poseidon scOT-problems layout (`Poseidon_mixing_Exp/scOT/problems/`) ----
+# The scOT stack reads the SAME benchmark suite through different containers:
+# incompressible NS as an h5 `velocity` variable (N,T,C,H,W) lifted to the
+# 4-channel [ρ≡1,u,v,p≡0] layout with the shared CONSTANTS
+# (`fluids/normalization_constants.py`), compressible Euler as `data` with a
+# per-dataset pressure shift BEFORE the shared z-score
+# (`fluids/compressible.py:191-308`), Kolmogorov as `solution` + an analytic
+# normalized forcing channel (`fluids/incompressible.py:293-387`).
+_POS_MEAN = (0.80, 0.0, 0.0, 0.0)
+_POS_STD = (0.31, 0.391, 0.356, 0.185)
+_pos_ns = lambda fn, n_max=20000, **kw: BenchmarkSpec(
+    fn, "velocity", n_max, 120, 240, 2, _POS_MEAN, _POS_STD, **kw
+)
+BENCHMARK_REGISTRY.update({
+    # `fluids/incompressible.py:390-480` (IncompressibleBase `:153-290`)
+    "pos_ns_bb": _pos_ns("NS-BB.nc"),
+    "pos_ns_pwc": _pos_ns("NS-PwC.nc", has_tracer=True,
+                          tracer_mean=0.19586183, tracer_std=0.37),
+    "pos_ns_gauss": _pos_ns("NS-Gauss.nc"),
+    "pos_ns_shear": _pos_ns("NS-SL.nc", n_max=40000, transpose=True),
+    "pos_ns_svs": _pos_ns("NS-SVS.nc"),
+    "pos_ns_sines": _pos_ns("NS-Sines.nc"),
+    # `fluids/incompressible.py:293-387`: velocities z-scored with their own
+    # stats; forcing 0.1·sin(2π(x+y)) normalized by mean/std_forcing
+    "pos_kolmogorov": BenchmarkSpec(
+        "FNS-KF.nc", "kf", 20000, 120, 240, 2,
+        (0.80, -2.2424793e-13, 4.1510376e-12, 0.0),
+        (0.31, 0.22017328, 0.22078253, 0.185),
+        aux_mean=-1.2996679288335145e-09, aux_std=0.0707106739282608,
+    ),
+    # `fluids/compressible.py:264-308`: mean_pressure per dataset
+    "pos_eul_gauss": BenchmarkSpec(
+        "CE-Gauss.nc", "nc_data", 10000, 120, 240, 4, _POS_MEAN, _POS_STD,
+        pressure_shift=2.513),
+    "pos_eul_kh": BenchmarkSpec(
+        "CE-KH.nc", "nc_data", 10000, 120, 240, 4, _POS_MEAN, _POS_STD,
+        pressure_shift=1.0),
+    "pos_eul_riemann": BenchmarkSpec(
+        "CE-RP.nc", "nc_data", 10000, 120, 240, 4, _POS_MEAN, _POS_STD,
+        pressure_shift=0.215),
+    "pos_eul_riemann_curved": BenchmarkSpec(
+        "CE-CRP.nc", "nc_data", 10000, 120, 240, 4, _POS_MEAN, _POS_STD,
+        pressure_shift=0.553),
+    "pos_eul_riemann_kh": BenchmarkSpec(
+        "CE-RPUI.nc", "nc_data", 10000, 120, 240, 4, _POS_MEAN, _POS_STD,
+        pressure_shift=1.33),
+    # `fluids/compressible.py:8-53` (scOT split sizes)
+    "pos_airfoil": BenchmarkSpec(
+        "SE-AF.nc", "airfoil", 10869, 120, 240, 1,
+        (0.92984116,), (0.10864315,), time_dependent=False),
+})
+# scOT filenames for entries whose math is shared with the CNO-loaders layout
+for _name, _alt in [
+    ("richtmyer_meshkov", "CE-RM.nc"), ("rayleigh_taylor", "GCE-RT.nc"),
+    ("wave_seismic", "Wave-Layer.nc"), ("wave_gauss", "Wave-Gauss.nc"),
+    ("allen_cahn", "ACE.nc"), ("poisson_gauss", "Poisson-Gauss.nc"),
+]:
+    _e = BENCHMARK_REGISTRY[_name]
+    BENCHMARK_REGISTRY[_name] = dataclasses.replace(_e, alt_filenames=(_alt,))
+
+
+# Both reference name grammars resolve here (applied after the
+# .out/.tracer/.time modifier stripping in `get_dataset`):
+# CNO `load_utils._load_dataset` flat names (`load_utils.py:25-298`) and
+# scOT `problems/base.py get_dataset` dotted names (`base.py:70-183`).
+NAME_ALIASES = {
+    "ns_sin": "ns_sines",
+    "ns_pwc_t": "ns_pwc_tracer",
+    "eul_riemann_cur": "eul_riemann_curved",
+    "rich_mesh": "richtmyer_meshkov",
+    "rayl_tayl": "rayleigh_taylor",
+    "fluids.incompressible.BrownianBridge": "pos_ns_bb",
+    "fluids.incompressible.PiecewiseConstants": "pos_ns_pwc",
+    "fluids.incompressible.Gaussians": "pos_ns_gauss",
+    "fluids.incompressible.ShearLayer": "pos_ns_shear",
+    "fluids.incompressible.VortexSheet": "pos_ns_svs",
+    "fluids.incompressible.Sines": "pos_ns_sines",
+    "fluids.incompressible.forcing.KolmogorovFlow": "pos_kolmogorov",
+    "fluids.compressible.Gaussians": "pos_eul_gauss",
+    "fluids.compressible.KelvinHelmholtz": "pos_eul_kh",
+    "fluids.compressible.Riemann": "pos_eul_riemann",
+    "fluids.compressible.RiemannCurved": "pos_eul_riemann_curved",
+    "fluids.compressible.RiemannKelvinHelmholtz": "pos_eul_riemann_kh",
+    "fluids.compressible.RichtmyerMeshkov": "richtmyer_meshkov",
+    "fluids.compressible.gravity.RayleighTaylor": "rayleigh_taylor",
+    "fluids.compressible.steady.Airfoil": "pos_airfoil",
+    "elliptic.poisson.Gaussians": "poisson_gauss",
+    "elliptic.Helmholtz": "helmholtz",
+    "wave.Layer": "wave_seismic",
+    "wave.Gaussians": "wave_gauss",
+    "reaction_diffusion.AllenCahn": "allen_cahn",
+}
+
 
 def _open_container(path):
     """HDF5 (netCDF-4) via h5py; classic netCDF-3 via scipy. Returns an
@@ -258,6 +372,7 @@ class BenchmarkTimeDataset:
         tracer: bool = False,
         masked_input: Sequence[float] | None = None,
         resolution: int | None = None,
+        just_velocities: bool = False,
     ):
         spec = BENCHMARK_REGISTRY[name]
         self.spec = spec
@@ -265,6 +380,14 @@ class BenchmarkTimeDataset:
         self.tracer = tracer and spec.has_tracer
         if tracer and not spec.has_tracer:
             raise ValueError(f"{name} has no tracer channel")
+        # `just_velocities` (scOT IncompressibleBase/KolmogorovFlow option):
+        # skip the [ρ≡1, p≡0] lift and train on [u, v] (+forcing) only
+        self.just_velocities = just_velocities
+        if just_velocities and spec.kind not in ("velocity", "kf"):
+            raise ValueError(
+                "just_velocities is an scOT incompressible-NS option "
+                "(fluids/incompressible.py:153-180)"
+            )
         self.masked_input = None
         if masked_input is not None:
             if spec.kind not in ("h5_sample", "shear") or spec.channels != 2:
@@ -293,13 +416,20 @@ class BenchmarkTimeDataset:
             ]
             first = np.asarray(self.readers[0]["sample_0"])
         else:
-            self.reader = _open_container(root / spec.filename)
+            candidates = [root / spec.filename] + [
+                root / alt for alt in spec.alt_filenames
+            ]
+            existing = [c for c in candidates if c.exists()]
+            self.reader = _open_container(existing[0] if existing else candidates[0])
             if spec.kind == "h5_sample":
                 first = np.asarray(self.reader["sample_0"])
             elif spec.kind == "nc_data":
                 first = self.reader["data"]
-            elif spec.kind in ("nc_solution", "kolmogorov", "wave", "airfoil"):
+            elif spec.kind in ("nc_solution", "kolmogorov", "wave", "airfoil",
+                               "kf"):
                 first = self.reader["solution"]
+            elif spec.kind == "velocity":
+                first = self.reader["velocity"]
             elif spec.kind == "poisson":
                 first = self.reader["source"]
             elif spec.kind == "helmholtz":
@@ -346,6 +476,9 @@ class BenchmarkTimeDataset:
         if self.masked_input is not None:
             self.mean = np.asarray(MASKED_NS_MEAN, np.float32)
             self.std = np.asarray(MASKED_NS_STD, np.float32)
+        if self.just_velocities:  # `fluids/incompressible.py:185-188`
+            self.mean = self.mean[1:3]
+            self.std = self.std[1:3]
 
     # -- channel bookkeeping -------------------------------------------------
 
@@ -362,6 +495,10 @@ class BenchmarkTimeDataset:
             return 2
         if spec.kind == "kolmogorov":  # label carries the forcing channel
             return 3
+        if spec.kind == "velocity":  # [ρ,u,v,p] lift (+tracer)
+            return (2 if self.just_velocities else 4) + int(self.tracer)
+        if spec.kind == "kf":  # lift + forcing channel
+            return (2 if self.just_velocities else 4) + 1
         return spec.channels
 
     @property
@@ -374,6 +511,21 @@ class BenchmarkTimeDataset:
         if spec.kind in ("poisson", "helmholtz"):
             time_ch = 0  # reference steady classes never append one
         return base + time_ch
+
+    @property
+    def pixel_mask(self):
+        """Per-channel forcing mask the scOT stack attaches to samples
+        (True = channel forced to the label in the model forward,
+        `scOT/model.py:1372-1374`): the lifted constant-pressure channel of
+        the incompressible family (`fluids/incompressible.py:200-208`,
+        KolmogorovFlow `:352-360`). None when nothing is forced."""
+        spec = self.spec
+        if spec.kind == "velocity" and not self.just_velocities:
+            m = [False, False, False, True] + [False] * int(self.tracer)
+            return np.asarray(m)
+        if spec.kind == "kf" and not self.just_velocities:
+            return np.asarray([False, False, False, True, False])
+        return None
 
     # -- reads ---------------------------------------------------------------
 
@@ -398,6 +550,8 @@ class BenchmarkTimeDataset:
             return int(self.reader["source"].shape[0])
         if spec.kind == "nc_data":
             return int(self.reader["data"].shape[0])
+        if spec.kind == "velocity":
+            return int(self.reader["velocity"].shape[0])
         return int(self.reader["solution"].shape[0])
 
     def _frame_pair(self, i: int, t1: int, t2: int):
@@ -425,6 +579,29 @@ class BenchmarkTimeDataset:
             var = self.reader["data"]
             inp = np.asarray(var[i + self.start, t1, :4]).reshape(4, r, r)
             lab = np.asarray(var[i + self.start, t2, :4]).reshape(4, r, r)
+            if spec.pressure_shift is not None:  # scOT CE-*: p −= mean_pressure
+                inp = inp.copy()
+                lab = lab.copy()
+                inp[3] -= spec.pressure_shift
+                lab[3] -= spec.pressure_shift
+            return inp, lab
+        if spec.kind in ("velocity", "kf"):
+            # scOT incompressible layout (`fluids/incompressible.py:229-290`,
+            # KolmogorovFlow `:293-387`): 2 velocity channels, lifted to
+            # [ρ≡1, u, v, p≡0] unless just_velocities
+            var = self.reader["velocity" if spec.kind == "velocity" else
+                              "solution"]
+            inp = np.asarray(var[i + self.start, t1, 0:2]).reshape(2, r, r)
+            lab = np.asarray(var[i + self.start, t2, 0:2]).reshape(2, r, r)
+            if spec.transpose:  # NS-SL (`:436-446`)
+                inp = np.transpose(inp, (0, 2, 1))
+                lab = np.transpose(lab, (0, 2, 1))
+            if self.just_velocities:
+                return inp, lab
+            ones = np.ones((1, r, r), inp.dtype)
+            zeros = np.zeros((1, r, r), inp.dtype)
+            inp = np.concatenate([ones, inp, zeros], 0)
+            lab = np.concatenate([ones, lab, zeros], 0)
             return inp, lab
         if spec.kind == "nc_solution":
             var = self.reader["solution"]
@@ -538,6 +715,27 @@ class BenchmarkTimeDataset:
             f = self._kolmogorov_forcing()
             inp = np.concatenate([inp, f], 0)
             lab = np.concatenate([lab, f], 0)
+        elif spec.kind == "velocity" and self.tracer:
+            # scOT PwC tracer: velocity channel 2, z-scored
+            # (`fluids/incompressible.py:258-280`)
+            var = self.reader["velocity"]
+            tr1 = np.asarray(var[j, t1, 2:3], np.float32).reshape(1, r, r)
+            tr2 = np.asarray(var[j, t2, 2:3], np.float32).reshape(1, r, r)
+            tr1 = (tr1 - spec.tracer_mean) / spec.tracer_std
+            tr2 = (tr2 - spec.tracer_mean) / spec.tracer_std
+            inp = np.concatenate([inp, tr1], 0)
+            lab = np.concatenate([lab, tr2], 0)
+        elif spec.kind == "kf":
+            # analytic forcing 0.1·sin(2π(x+y)), z-scored with the measured
+            # forcing stats (`fluids/incompressible.py:318-327`)
+            x = np.linspace(0.0, 1.0, r, dtype=np.float32)
+            xx, yy = np.meshgrid(x, x, indexing="ij")
+            f = (0.1 * np.sin(2.0 * np.pi * (xx + yy)) - spec.aux_mean) / (
+                spec.aux_std
+            )
+            f = f[None].astype(np.float32)
+            inp = np.concatenate([inp, f], 0)
+            lab = np.concatenate([lab, f], 0)
 
         return self._emit(time, inp, lab, time_channel=True)
 
@@ -577,6 +775,11 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
 
         return ConcatDataset([get_dataset(n, data_path, which, **kw) for n in name])
 
+    # scOT's identifier for the framework-generated npy contract
+    # (`scOT/problems/base.py:51-66`)
+    if name == "fluids.incompressible.Gaussians.npz":
+        name = "ns_custom"
+
     base = name
     out_mode = False
     for _ in range(3):  # modifiers compose in any order
@@ -587,6 +790,8 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
         if base.endswith(".tracer"):
             base = base[: -len(".tracer")]
             kw["tracer"] = True
+    # both reference name grammars resolve to registry keys
+    base = NAME_ALIASES.get(base, base)
 
     def out_cfg(max_t, n_val, n_test):
         step = _OUT_TIME_SETTINGS["time_step_size"]

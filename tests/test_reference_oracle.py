@@ -853,3 +853,139 @@ def test_ar_loss_matches_reference_model_forward():
     loss_ref, _ = run_ref(steps_list)
     loss = run_ours([base_time * i for i in steps_list])
     assert abs(loss - loss_ref) < 1e-5, (loss, loss_ref)
+
+
+# ---------------------------------------------------------------------------
+# Poseidon scOT-problems layout loaders vs the actual scOT classes
+# ---------------------------------------------------------------------------
+
+
+def _scot_problems(modname):
+    sys.path.insert(0, POS)
+    try:
+        return importlib.import_module(modname)
+    finally:
+        sys.path.remove(POS)
+
+
+def _cmp_scot_sample(ref_item, ours_item, atol=1e-5):
+    t, inp, lab = ours_item
+    assert abs(float(t) - float(ref_item["time"])) < 1e-7
+    np.testing.assert_allclose(
+        inp, np.transpose(_t2n(ref_item["pixel_values"]), (1, 2, 0)),
+        rtol=1e-5, atol=atol)
+    np.testing.assert_allclose(
+        lab, np.transpose(_t2n(ref_item["labels"]), (1, 2, 0)),
+        rtol=1e-5, atol=atol)
+
+
+def test_pos_velocity_loader_matches_scot_class(tmp_path):
+    """`pos_ns_pwc` (h5 `velocity` layout, [ρ≡1,u,v,p≡0] lift, shared
+    Poseidon constants, tracer channel) vs the ACTUAL scOT
+    `PiecewiseConstants` (`fluids/incompressible.py:153-290,407-427`),
+    including pixel_mask and the just_velocities option."""
+    inc = _scot_problems("scOT.problems.fluids.incompressible")
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(40)
+    res, n, T = 128, 3, 21
+    with h5py.File(tmp_path / "NS-PwC.nc", "w") as f:
+        f.create_dataset("velocity", data=rng.normal(
+            size=(n, T, 3, res, res)).astype(np.float32))
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    for tracer, jv in ((True, False), (False, False), (False, True)):
+        tref = inc.PiecewiseConstants(
+            tracer=tracer, just_velocities=jv,
+            which="train", num_trajectories=2, data_path=str(tmp_path),
+            max_num_time_steps=4, time_step_size=2,
+            allowed_time_transitions=[1, 2],
+        )
+        # scOT dotted name grammar resolves through NAME_ALIASES
+        ours = get_dataset(
+            "fluids.incompressible.PiecewiseConstants"
+            + (".tracer" if tracer else ""),
+            str(tmp_path), "train", num_trajectories=2,
+            just_velocities=jv,
+            cfg=TimePairConfig(max_num_time_steps=4, time_step_size=2,
+                               allowed_transitions=[1, 2],
+                               time_input=False, n_val=1, n_test=1),
+        )
+        assert len(ours) == len(tref)
+        for idx in range(0, len(tref), 5):
+            _cmp_scot_sample(tref[idx], ours[idx])
+        pm = ours.pixel_mask
+        if jv:
+            assert pm is None
+        else:
+            np.testing.assert_array_equal(pm, _t2n(tref[0]["pixel_mask"]))
+
+
+def test_pos_compressible_loader_matches_scot_class(tmp_path):
+    """`pos_eul_kh` (CE layout: `data` var, per-dataset mean_pressure shift
+    BEFORE the shared z-score) vs the ACTUAL scOT `KelvinHelmholtz`
+    (`fluids/compressible.py:191-308`)."""
+    comp = _scot_problems("scOT.problems.fluids.compressible")
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(41)
+    res, n, T = 128, 3, 21
+    with h5py.File(tmp_path / "CE-KH.nc", "w") as f:
+        f.create_dataset("data", data=rng.normal(
+            size=(n, T, 4, res, res)).astype(np.float32))
+
+    tref = comp.KelvinHelmholtz(
+        which="train", num_trajectories=2, data_path=str(tmp_path),
+        max_num_time_steps=4, time_step_size=2,
+        allowed_time_transitions=[1, 2],
+    )
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    ours = get_dataset(
+        "fluids.compressible.KelvinHelmholtz", str(tmp_path), "train",
+        num_trajectories=2,
+        cfg=TimePairConfig(max_num_time_steps=4, time_step_size=2,
+                           allowed_transitions=[1, 2],
+                           time_input=False, n_val=1, n_test=1),
+    )
+    assert len(ours) == len(tref)
+    for idx in range(0, len(tref), 4):
+        _cmp_scot_sample(tref[idx], ours[idx])
+
+
+def test_pos_kolmogorov_loader_matches_scot_class(tmp_path):
+    """`pos_kolmogorov` (FNS-KF: `solution` var, lift + analytic normalized
+    forcing channel) vs the ACTUAL scOT `KolmogorovFlow`
+    (`fluids/incompressible.py:293-387`)."""
+    inc = _scot_problems("scOT.problems.fluids.incompressible")
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(42)
+    res, n, T = 128, 3, 21
+    with h5py.File(tmp_path / "FNS-KF.nc", "w") as f:
+        f.create_dataset("solution", data=rng.normal(
+            size=(n, T, 2, res, res)).astype(np.float32))
+
+    tref = inc.KolmogorovFlow(
+        which="train", num_trajectories=2, data_path=str(tmp_path),
+        max_num_time_steps=4, time_step_size=2,
+        allowed_time_transitions=[1, 2],
+    )
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    ours = get_dataset(
+        "fluids.incompressible.forcing.KolmogorovFlow", str(tmp_path),
+        "train", num_trajectories=2,
+        cfg=TimePairConfig(max_num_time_steps=4, time_step_size=2,
+                           allowed_transitions=[1, 2],
+                           time_input=False, n_val=1, n_test=1),
+    )
+    assert len(ours) == len(tref)
+    for idx in range(0, len(tref), 4):
+        _cmp_scot_sample(tref[idx], ours[idx])

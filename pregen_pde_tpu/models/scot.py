@@ -50,6 +50,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# reference init: HF `Swinv2PreTrainedModel._init_weights` draws every
+# Linear/Conv weight from N(0, initializer_range=0.02) with zero biases;
+# matched here for training-dynamics parity (the CondLayerNorm time maps
+# keep their deliberate zero-init — see the module docstring).
+_REF_INIT = nn.initializers.normal(0.02)
+
 
 @dataclasses.dataclass(frozen=True)
 class ScOTConfig:
@@ -163,9 +169,9 @@ class WindowAttentionV2(nn.Module):
         hd = c // h
         ws = self.window_size
 
-        q = nn.Dense(c, use_bias=self.qkv_bias, name="query")(x)
-        k = nn.Dense(c, use_bias=False, name="key")(x)
-        v = nn.Dense(c, use_bias=self.qkv_bias, name="value")(x)
+        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=_REF_INIT, name="query")(x)
+        k = nn.Dense(c, use_bias=False, kernel_init=_REF_INIT, name="key")(x)
+        v = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=_REF_INIT, name="value")(x)
         q = q.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
@@ -192,9 +198,9 @@ class WindowAttentionV2(nn.Module):
         table = table / max(ws - 1, 1) * 8.0
         table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
         table = jnp.asarray(table.reshape(-1, 2))
-        cpb = nn.Dense(512, name="cpb_mlp1")(table)
+        cpb = nn.Dense(512, kernel_init=_REF_INIT, name="cpb_mlp1")(table)
         cpb = nn.relu(cpb)
-        cpb = nn.Dense(h, use_bias=False, name="cpb_mlp2")(cpb)  # ((2w-1)², h)
+        cpb = nn.Dense(h, use_bias=False, kernel_init=_REF_INIT, name="cpb_mlp2")(cpb)  # ((2w-1)², h)
 
         ci = np.stack(
             np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"), 0
@@ -213,7 +219,7 @@ class WindowAttentionV2(nn.Module):
         attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
-        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, kernel_init=_REF_INIT, name="proj")(out)
         return nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
 
 
@@ -286,9 +292,9 @@ class SwinLayerV2(nn.Module):
             x, deterministic
         )
 
-        y = nn.Dense(int(c * self.mlp_ratio), name="mlp1")(x)
+        y = nn.Dense(int(c * self.mlp_ratio), kernel_init=_REF_INIT, name="mlp1")(x)
         y = nn.gelu(y)
-        y = nn.Dense(c, name="mlp2")(y)
+        y = nn.Dense(c, kernel_init=_REF_INIT, name="mlp2")(y)
         y = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(y)
         y = CondLayerNorm(c, self.use_conditioning, name="norm2")(y, time)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
@@ -310,7 +316,7 @@ class PatchMerging(nn.Module):
             [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
             axis=-1,
         )
-        x = nn.Dense(2 * c, use_bias=False, name="reduction")(x)
+        x = nn.Dense(2 * c, use_bias=False, kernel_init=_REF_INIT, name="reduction")(x)
         return CondLayerNorm(2 * c, self.use_conditioning, name="norm")(x, time)
 
 
@@ -324,11 +330,11 @@ class PatchUnmerging(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, time) -> jax.Array:
         b, h, w, c = x.shape
-        x = nn.Dense(2 * c, use_bias=False, name="upsample")(x)
+        x = nn.Dense(2 * c, use_bias=False, kernel_init=_REF_INIT, name="upsample")(x)
         x = x.reshape(b, h, w, 2, 2, c // 2)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c // 2)
         x = CondLayerNorm(c // 2, self.use_conditioning, name="norm")(x, time)
-        return nn.Dense(c // 2, use_bias=False, name="mixup")(x)
+        return nn.Dense(c // 2, use_bias=False, kernel_init=_REF_INIT, name="mixup")(x)
 
 
 class ConvNeXtBlock(nn.Module):
@@ -343,11 +349,11 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x: jax.Array, time) -> jax.Array:  # NHWC
         inp = x
         x = nn.Conv(self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
-                    name="dwconv")(x)
+                    kernel_init=_REF_INIT, name="dwconv")(x)
         x = CondLayerNorm(self.dim, self.use_conditioning, name="norm")(x, time)
-        x = nn.Dense(4 * self.dim, name="pwconv1")(x)
+        x = nn.Dense(4 * self.dim, kernel_init=_REF_INIT, name="pwconv1")(x)
         x = nn.gelu(x)
-        x = nn.Dense(self.dim, name="pwconv2")(x)
+        x = nn.Dense(self.dim, kernel_init=_REF_INIT, name="pwconv2")(x)
         # strong-typed fill (weak params force train-step retraces; see
         # WindowAttentionV2.logit_scale)
         gamma = self.param(
@@ -381,9 +387,9 @@ class ResNetBlock(nn.Module):
             return z * gamma + beta
 
         inp = x
-        x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv1")(x)
+        x = nn.Conv(self.dim, (3, 3), padding="SAME", kernel_init=_REF_INIT, name="conv1")(x)
         x = jax.nn.leaky_relu(bnorm(x, "bn1"), 0.01)
-        x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv2")(x)
+        x = nn.Conv(self.dim, (3, 3), padding="SAME", kernel_init=_REF_INIT, name="conv2")(x)
         x = bnorm(x, "bn2")
         return inp + x
 
@@ -475,7 +481,8 @@ class ScOT(nn.Module):
 
         # patchify
         x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), name="patch_embed")(x)
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    kernel_init=_REF_INIT, name="patch_embed")(x)
         x = CondLayerNorm(cfg.embed_dim, uc, name="embed_norm")(x, time)
         if cfg.use_mask_token:
             mask_token = self.param(
@@ -550,10 +557,11 @@ class ScOT(nn.Module):
         # patch recovery: ConvTranspose + bias-free 5×5 mixup conv
         x = nn.ConvTranspose(
             cfg.num_out_channels, (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size), name="patch_recovery",
+            strides=(cfg.patch_size, cfg.patch_size),
+            kernel_init=_REF_INIT, name="patch_recovery",
         )(x)
         x = nn.Conv(cfg.num_out_channels, (5, 5), padding="SAME", use_bias=False,
-                    name="recovery_mixup")(x)
+                    kernel_init=_REF_INIT, name="recovery_mixup")(x)
 
         if cfg.learn_residual:
             x = x + fft_resize(pixel_input[..., : cfg.num_out_channels],

@@ -448,15 +448,29 @@ class BenchmarkTimeDataset:
         n_avail = self._available_samples()
         n_max = min(spec.n_max, n_avail)
         n_val, n_test = self.cfg.n_val, self.cfg.n_test
-        if n_max < n_val + n_test + 1:
+        # the reference never validates file size against the split (it reads
+        # rows lazily); a train split over a partial file is fine as long as
+        # the requested rows exist — only val/test need the tail of the split
+        if which != "train" and n_max < n_val + n_test + 1:
             raise ValueError(
-                f"{name}: file has {n_max} samples but the split needs "
-                f"n_val({n_val}) + n_test({n_test}) + >=1 train"
+                f"{name}: file has {n_max} samples but the {which} split "
+                f"needs n_val({n_val}) + n_test({n_test}) + >=1 train"
             )
         self.which = which
         if which == "train":
-            avail = n_max - n_val - n_test
+            avail = max(n_max - n_val - n_test, 0)
+            if num_trajectories is None and avail == 0:
+                raise ValueError(
+                    f"{name}: file has {n_max} samples — too few to derive a "
+                    f"train split from n_val({n_val}) + n_test({n_test}); "
+                    f"pass num_trajectories explicitly"
+                )
             n = num_trajectories if num_trajectories is not None else avail
+            if isinstance(n, int) and n > 0 and n > n_avail:
+                raise ValueError(
+                    f"{name}: requested {n} train trajectories but the file "
+                    f"has {n_avail}"
+                )
             # reference convention: -1/-2/-8 → all/half/eighth
             # (`scOT/problems/base.py:242-247`)
             if n == -1:
@@ -791,6 +805,7 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
             base = base[: -len(".tracer")]
             kw["tracer"] = True
     # both reference name grammars resolve to registry keys
+    scot_grammar = "." in base  # dotted = scOT `problems/base.py` grammar
     base = NAME_ALIASES.get(base, base)
 
     def out_cfg(max_t, n_val, n_test):
@@ -801,7 +816,32 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
             allowed_transitions=None, n_val=n_val, n_test=n_test,
         )
 
-    if out_mode and "cfg" not in kw and base in BENCHMARK_REGISTRY:
+    if (scot_grammar and "cfg" not in kw and base in BENCHMARK_REGISTRY
+            and BENCHMARK_REGISTRY[base].time_dependent):
+        # the scOT grammar carries the reference's default time settings
+        # (`base.py:92-106,133-180`): 7 jumps of 2 for training, 10 of 2 for
+        # .out; RayleighTaylor uses step 1 (7/1, .out 10/1); AllenCahn .out
+        # is 9 of 2. No lead-time input CHANNEL (scOT conditions on the
+        # scalar only).
+        spec = BENCHMARK_REGISTRY[base]
+        if base == "rayleigh_taylor":
+            n_steps, step = (10, 1) if out_mode else (7, 1)
+        elif base == "allen_cahn" and out_mode:
+            n_steps, step = 9, 2
+        elif out_mode:
+            n_steps, step = 10, 2
+        else:
+            n_steps, step = 7, 2
+        # scOT's `allowed_time_transitions=None` enumerates ALL (t1, t2)
+        # pairs with t2 ≥ t1 (`base.py:363-375`) — ≡ every transition
+        # 0..n_steps allowed in this framework's convention (where None
+        # means t1 fixed at 0)
+        kw["cfg"] = TimePairConfig(
+            max_num_time_steps=n_steps, time_step_size=step,
+            allowed_transitions=tuple(range(0, n_steps + 1)),
+            time_input=False, n_val=spec.n_val, n_test=spec.n_test,
+        )
+    elif out_mode and "cfg" not in kw and base in BENCHMARK_REGISTRY:
         spec = BENCHMARK_REGISTRY[base]
         kw["cfg"] = out_cfg(spec.max_time, spec.n_val, spec.n_test)
 

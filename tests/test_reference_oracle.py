@@ -989,3 +989,30 @@ def test_pos_kolmogorov_loader_matches_scot_class(tmp_path):
     assert len(ours) == len(tref)
     for idx in range(0, len(tref), 4):
         _cmp_scot_sample(tref[idx], ours[idx])
+
+
+def test_scot_grammar_default_time_settings(tmp_path):
+    """The dotted (scOT) dataset grammar applies the reference's DEFAULT time
+    settings (`base.py:133-142`: 7 jumps of 2; no lead-time channel) when no
+    cfg is given — pinned against the actual class with those defaults."""
+    inc = _scot_problems("scOT.problems.fluids.incompressible")
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(43)
+    res, n, T = 128, 3, 21
+    with h5py.File(tmp_path / "NS-Gauss.nc", "w") as f:
+        f.create_dataset("velocity", data=rng.normal(
+            size=(n, T, 2, res, res)).astype(np.float32))
+
+    tref = inc.Gaussians(
+        which="train", num_trajectories=2, data_path=str(tmp_path),
+        max_num_time_steps=7, time_step_size=2,
+    )
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+
+    ours = get_dataset("fluids.incompressible.Gaussians", str(tmp_path),
+                       "train", num_trajectories=2)
+    assert ours.multiplier == tref.multiplier
+    assert len(ours) == len(tref)
+    _cmp_scot_sample(tref[5], ours[5])

@@ -303,7 +303,8 @@ def _cmd_mix_sweep(args):
     print(json.dumps(results), flush=True)
 
 
-def _evaluate_ckpt(ckpt_dir, model_name, data, patterns_str, batch_size):
+def _evaluate_ckpt(ckpt_dir, model_name, data, patterns_str, batch_size,
+                   label_description=None):
     """Rollout-pattern + accumulation-error evaluation of one checkpoint dir
     (shared by the `evaluate` and `sweep-eval` commands)."""
     import jax
@@ -340,7 +341,8 @@ def _evaluate_ckpt(ckpt_dir, model_name, data, patterns_str, batch_size):
     ]
     patterns = [p for p in patterns if sum(p) <= t_steps]
     res = evaluate_patterns(model.apply, params, test, patterns,
-                            batch_size=batch_size)
+                            batch_size=batch_size,
+                            label_description=label_description)
     acc = accumulation_error(model.apply, params, test,
                              max_steps=min(7, t_steps),
                              batch_size=batch_size)
@@ -355,7 +357,8 @@ def _cmd_evaluate(args):
     data = np.asarray(_load_data(args.data))
     try:
         res = _evaluate_ckpt(args.ckpt, args.model, data, args.patterns,
-                             args.batch_size)
+                             args.batch_size,
+                             label_description=args.label_description)
     except FileNotFoundError as e:  # clean CLI error, no traceback
         raise SystemExit(str(e)) from None
     print(json.dumps(res), flush=True)
@@ -651,6 +654,10 @@ def main(argv=None):
     e.add_argument("--data", required=True)
     e.add_argument("--ckpt", required=True)
     e.add_argument("--patterns", default="[7];[2,2,2,1];[1,1,1,1,1,1,1]")
+    e.add_argument("--label-description", default=None,
+                   help="per-variable-group error reporting, reference "
+                        "grammar: e.g. '[Ux,Uy],[p]' (scOT "
+                        "channel_slice_list / CNO separate_dim)")
     e.add_argument("--batch-size", type=int, default=16)
     e.set_defaults(fn=_cmd_evaluate)
 

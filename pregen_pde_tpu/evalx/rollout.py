@@ -77,6 +77,7 @@ def evaluate_patterns(
     patterns: Sequence[Sequence[int]],
     batch_size: int = 16,
     out_channels: int = 3,
+    label_description: str | None = None,
 ) -> dict[str, dict]:
     """For each pattern, roll out from t=0 inputs and score the final state
     against the true frame at t = sum(pattern) (per-step sums ≡ reference
@@ -116,7 +117,16 @@ def evaluate_patterns(
             lab = (lab - mean) / std
             preds_all.append(np.asarray(preds[-1]))
             labs_all.append(lab)
-        results[str(list(pattern))] = error_summary(
-            np.concatenate(preds_all), np.concatenate(labs_all)
-        )
+        pa, la = np.concatenate(preds_all), np.concatenate(labs_all)
+        if label_description is not None:
+            # per-variable-group reporting ≡ the reference's separate_dim /
+            # channel_slice_list metrics (`TestCNO_ALL.py:166-186`,
+            # `scOT/train.py:455-523`)
+            from pregen_pde_tpu.training.metrics import grouped_error_summary
+
+            results[str(list(pattern))] = grouped_error_summary(
+                pa, la, label_description
+            )
+        else:
+            results[str(list(pattern))] = error_summary(pa, la)
     return results

@@ -43,3 +43,40 @@ def summarize_rel_errors(rel: np.ndarray) -> dict:
         "min_rel_%": float(np.min(rel)),
         "max_rel_%": float(np.max(rel)),
     }
+
+
+def parse_label_description(label_description: str):
+    """Reference channel-group grammar → (names, channel slices).
+
+    ``"[rho],[u,v],[p]"`` → (["rho", "uv", "p"], [slice(0,1), slice(1,3),
+    slice(3,4)]) — ≡ `scOT/problems/base.py::get_channel_lists :284-296`
+    (offsets list there; concrete slices here) and the CNO stacks'
+    ``separate_dim`` convention (`TestCNO_ALL.py:98-101`: [1,2,1] → the same
+    cumulative channel blocks)."""
+    import re
+
+    matches = re.findall(r"\[([^\[\]]+)\]", label_description)
+    names, slices, off = [], [], 0
+    for m in matches:
+        parts = m.split(",")
+        names.append("".join(parts) if len(parts) > 1 else m)
+        slices.append(slice(off, off + len(parts)))
+        off += len(parts)
+    return names, slices
+
+
+def grouped_error_summary(
+    pred: np.ndarray, target: np.ndarray, label_description: str, p: int = 1,
+) -> dict:
+    """Per-channel-group error summaries (the reference's per-variable
+    reporting: scOT `compute_metrics` per `channel_slice_list`
+    (`scOT/train.py:455-523`); CNO `separate_dim` branches
+    (`TestCNO_ALL.py:166-186`)). Channels on the LAST axis (NHWC)."""
+    names, slices = parse_label_description(label_description)
+    out = {}
+    for name, sl in zip(names, slices):
+        out[name] = summarize_rel_errors(
+            relative_lp_error(pred[..., sl], target[..., sl], p=p)
+        )
+    out["all"] = error_summary(pred, target, p=p)
+    return out

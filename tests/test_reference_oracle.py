@@ -1016,3 +1016,23 @@ def test_scot_grammar_default_time_settings(tmp_path):
     assert ours.multiplier == tref.multiplier
     assert len(ours) == len(tref)
     _cmp_scot_sample(tref[5], ours[5])
+
+
+def test_channel_group_parser_matches_reference():
+    """`parse_label_description` vs the ACTUAL reference
+    `BaseDataset.get_channel_lists` (`scOT/problems/base.py:284-296`)."""
+    sys.path.insert(0, POS)
+    try:
+        base = importlib.import_module("scOT.problems.base")
+    finally:
+        sys.path.remove(POS)
+
+    from pregen_pde_tpu.training.metrics import parse_label_description
+
+    for desc in ("[rho],[u,v],[p]", "[u],[c]", "[u]",
+                 "[rho],[u,v],[p],[g],[tracer]"):
+        names_ref, offsets_ref = base.BaseDataset.get_channel_lists(desc)
+        names, slices = parse_label_description(desc)
+        assert names == names_ref, desc
+        for k, sl in enumerate(slices):
+            assert (sl.start, sl.stop) == (offsets_ref[k], offsets_ref[k + 1])

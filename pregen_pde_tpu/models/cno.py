@@ -164,10 +164,21 @@ class FILM(nn.Module):
 
         t = time.reshape(-1, 1).astype(x.dtype)
         zeros = nn.initializers.zeros
-        lat_s = nn.Dense(self.intermediate, kernel_init=zeros)(t)
+
+        # inp2lat biases keep torch Linear's default U(-1/√fan_in, 1/√fan_in)
+        # = U(-1, 1) at fan_in=1 (the reference zeroes only the WEIGHTS,
+        # `CNO_timeModule_CIN.py:43-49`) — the random biases break symmetry
+        # across intermediate units so the zero-init outer layers get
+        # distinct gradients from step one
+        def u11(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+
+        lat_s = nn.Dense(self.intermediate, kernel_init=zeros,
+                         bias_init=u11)(t)
         scale = nn.Dense(self.channels, kernel_init=zeros,
                          bias_init=nn.initializers.ones)(lat_s)
-        lat_b = nn.Dense(self.intermediate, kernel_init=zeros)(t)
+        lat_b = nn.Dense(self.intermediate, kernel_init=zeros,
+                         bias_init=u11)(t)
         bias = nn.Dense(self.channels, kernel_init=zeros, bias_init=zeros)(lat_b)
         return x * scale[:, None, None, :] + bias[:, None, None, :]
 
@@ -278,30 +289,71 @@ class ResidualBlock(nn.Module):
 # Optional ViT bottleneck (reference `:76-216`, off by default)
 # ---------------------------------------------------------------------------
 class ViTBottleneck(nn.Module):
+    """Reference `ViT` (`CNO_timeModule_CIN.py:76-216`): patchify →
+    [LayerNorm, Linear(patch_dim→dim), LayerNorm] → +randn pos-embedding →
+    depth × [pre-norm attention (fused bias-free qkv, scale dim_head^-1/2,
+    out projection unless heads==1 and dim_head==dim) + pre-norm
+    FeedForward(dim→mlp_dim→dim, GELU)] → LayerNorm →
+    [Linear(dim→patch_dim), LayerNorm] → depatchify. dim/dim_head/mlp_dim
+    derive from the multipliers exactly as the CNO wiring (`:938-949`):
+    dim = dim_multiplier·p²·C, dim_head = dim_head_multiplier·dim,
+    mlp_dim = mlp_dim_multiplier·dim."""
+
     patch_size: int = 1
     depth: int = 4
     heads: int = 4
+    dim_multiplier: float = 1.0
+    dim_head_multiplier: float = 1.0
+    mlp_dim_multiplier: float = 1.0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # NHWC
         b, h, w, c = x.shape
         p = self.patch_size
-        dim = c * p * p
-        tokens = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 2, 4, 5)
-        tokens = tokens.reshape(b, (h // p) * (w // p), dim)
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, tokens.shape[1], dim))
-        tokens = tokens + pos
-        for _ in range(self.depth):
-            y = nn.LayerNorm()(tokens)
-            y = nn.MultiHeadDotProductAttention(num_heads=self.heads)(y, y)
-            tokens = tokens + y
-            y = nn.LayerNorm()(tokens)
-            y = nn.Dense(dim * 2)(y)
+        patch_dim = c * p * p
+        dim = int(self.dim_multiplier * patch_dim)
+        dim_head = int(self.dim_head_multiplier * dim)
+        mlp_dim = int(self.mlp_dim_multiplier * dim)
+        inner = dim_head * self.heads
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name)
+
+        # 'b c (h p1) (w p2) -> b (h w) (p1 p2 c)'
+        t = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 2, 4, 5)
+        t = t.reshape(b, (h // p) * (w // p), patch_dim)
+        t = ln("embed_norm1")(t)
+        t = nn.Dense(dim, name="embed")(t)
+        t = ln("embed_norm2")(t)
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, t.shape[1], dim))
+        t = t + pos
+
+        scale = dim_head ** -0.5
+        for d in range(self.depth):
+            y = ln(f"attn_{d}_norm")(t)
+            qkv = nn.Dense(inner * 3, use_bias=False, name=f"attn_{d}_qkv")(y)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            shp = (b, -1, self.heads, dim_head)
+            q = q.reshape(shp).transpose(0, 2, 1, 3)
+            k = k.reshape(shp).transpose(0, 2, 1, 3)
+            v = v.reshape(shp).transpose(0, 2, 1, 3)
+            attn = jax.nn.softmax(
+                jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, axis=-1
+            )
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
+            if not (self.heads == 1 and dim_head == dim):
+                out = nn.Dense(dim, name=f"attn_{d}_out")(out)
+            t = t + out
+            y = ln(f"ff_{d}_norm")(t)
+            y = nn.Dense(mlp_dim, name=f"ff_{d}_1")(y)
             y = nn.gelu(y)
-            y = nn.Dense(dim)(y)
-            tokens = tokens + y
-        x = tokens.reshape(b, h // p, w // p, p, p, c).transpose(0, 1, 3, 2, 4, 5)
+            y = nn.Dense(dim, name=f"ff_{d}_2")(y)
+            t = t + y
+        t = ln("final_norm")(t)
+
+        t = nn.Dense(patch_dim, name="unembed")(t)
+        t = ln("unembed_norm")(t)
+        x = t.reshape(b, h // p, w // p, p, p, c).transpose(0, 1, 3, 2, 4, 5)
         return x.reshape(b, h, w, c)
 
 
@@ -325,6 +377,13 @@ class CNO(nn.Module):
     norm: str = "instance"
     activation: str = "cno_lrelu"  # "cno_lrelu" | "lrelu" (reference variants)
     use_attention: bool = False
+    # ViT bottleneck hyperparameters (reference `is_att` block, `:938-949`)
+    attention_patch_size: int = 1
+    attention_depth: int = 4
+    attention_heads: int = 4
+    attention_dim_multiplier: float = 1.0
+    attention_dim_head_multiplier: float = 1.0
+    attention_mlp_dim_multiplier: float = 1.0
     out_size: int | None = None  # None → in_size
 
     @nn.compact
@@ -365,7 +424,14 @@ class CNO(nn.Module):
             )(x, time)
 
         if self.use_attention:
-            x = ViTBottleneck()(x)
+            x = ViTBottleneck(
+                patch_size=self.attention_patch_size,
+                depth=self.attention_depth,
+                heads=self.attention_heads,
+                dim_multiplier=self.attention_dim_multiplier,
+                dim_head_multiplier=self.attention_dim_head_multiplier,
+                mlp_dim_multiplier=self.attention_mlp_dim_multiplier,
+            )(x)
         for _ in range(self.n_res_neck):
             x = ResidualBlock(channels=enc_feat[nl], size=enc_sizes[nl], **kw)(
                 x, time

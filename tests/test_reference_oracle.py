@@ -1036,3 +1036,67 @@ def test_channel_group_parser_matches_reference():
         assert names == names_ref, desc
         for k, sl in enumerate(slices):
             assert (sl.start, sl.stop) == (offsets_ref[k], offsets_ref[k + 1])
+
+
+def test_vit_bottleneck_matches_reference():
+    """Our ViTBottleneck vs the ACTUAL reference `ViT`
+    (`CNO_timeModule_CIN.py:76-216`): patch embedding norms/linears, fused
+    bias-free qkv with dim_head^-1/2 scaling, pre-norm FF(dim→mlp_dim),
+    final norm, un-embedding + depatchify."""
+    ref = _import_cno_model()
+    torch.manual_seed(0)
+    C, H, p, depth, heads = 6, 8, 2, 2, 3
+    dim = p * p * C  # dim_multiplier 1
+    tm = ref.ViT(
+        image_size=H, patch_size=p, dim=dim, depth=depth, heads=heads,
+        mlp_dim=2 * dim, channels=C, dim_head=dim, emb_dropout=0.0,
+    ).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(17)
+        for prm in tm.parameters():
+            prm.copy_(torch.randn(prm.shape, generator=g) * 0.2)
+
+    rng = np.random.default_rng(18)
+    x = rng.normal(size=(2, C, H, H)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = np.transpose(_t2n(tm(torch.from_numpy(x))), (0, 2, 3, 1))
+
+    from pregen_pde_tpu.models.cno import ViTBottleneck
+
+    import jax
+    import jax.numpy as jnp
+
+    ours = ViTBottleneck(patch_size=p, depth=depth, heads=heads,
+                         dim_head_multiplier=1.0, mlp_dim_multiplier=2.0)
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    params = ours.init(jax.random.key(0), jnp.asarray(x_nhwc))["params"]
+
+    def lin(l, bias=True):
+        d = {"kernel": _t2n(l.weight).T}
+        if bias:
+            d["bias"] = _t2n(l.bias)
+        return d
+
+    def lnp(l):
+        return {"scale": _t2n(l.weight), "bias": _t2n(l.bias)}
+
+    new = dict(params)
+    new["embed_norm1"] = lnp(tm.to_patch_embedding[1])
+    new["embed"] = lin(tm.to_patch_embedding[2])
+    new["embed_norm2"] = lnp(tm.to_patch_embedding[3])
+    new["pos_embedding"] = _t2n(tm.pos_embedding)
+    for d in range(depth):
+        attn, ff = tm.transformer.layers[d]
+        new[f"attn_{d}_norm"] = lnp(attn.norm)
+        new[f"attn_{d}_qkv"] = lin(attn.to_qkv, bias=False)
+        new[f"attn_{d}_out"] = lin(attn.to_out[0])
+        new[f"ff_{d}_norm"] = lnp(ff.net[0])
+        new[f"ff_{d}_1"] = lin(ff.net[1])
+        new[f"ff_{d}_2"] = lin(ff.net[4])
+    new["final_norm"] = lnp(tm.transformer.norm)
+    new["unembed"] = lin(tm.patch_to_image[0])
+    new["unembed_norm"] = lnp(tm.patch_to_image[1])
+
+    y = np.asarray(ours.apply({"params": new}, jnp.asarray(x_nhwc)))
+    assert y.shape == y_ref.shape
+    assert _rel_err(y, y_ref) < 2e-4, _rel_err(y, y_ref)

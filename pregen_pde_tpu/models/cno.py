@@ -186,6 +186,25 @@ class FILM(nn.Module):
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
+
+def _torch_conv_init(fan_in: int):
+    """torch Conv2d default init (kaiming_uniform(a=√5) ≡ U(±1/√fan_in) for
+    both weight and bias, fan_in = C_in·kh·kw) — matched for training-dynamics
+    parity with the reference blocks (torch `_ConvNd.reset_parameters`)."""
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _conv(out_ch: int, k: int, in_ch: int, name=None):
+    fi = _torch_conv_init(in_ch * k * k)
+    return nn.Conv(out_ch, (k, k), padding="SAME", kernel_init=fi,
+                   bias_init=fi, name=name)
+
+
 def _filter_params(size: int, cutoff_den: float, half_width_mult: float):
     cutoff = size / cutoff_den
     half_width = half_width_mult * size - cutoff
@@ -214,8 +233,7 @@ class CNOBlock(nn.Module):
                                        self.half_width_mult)
         out_cut, out_hw = _filter_params(self.out_size, self.cutoff_den,
                                          self.half_width_mult)
-        x = nn.Conv(self.out_channels, (self.conv_kernel, self.conv_kernel),
-                    padding="SAME")(x)
+        x = _conv(self.out_channels, self.conv_kernel, x.shape[-1])(x)
         if self.use_time:
             x = FILM(self.out_channels, norm=self.norm)(x, time)
         if self.activation == "lrelu":
@@ -244,8 +262,7 @@ class LiftProjectBlock(nn.Module):
             out_channels=self.latent_dim, in_size=self.in_size,
             out_size=self.out_size, use_time=False,
         )(x)
-        return nn.Conv(self.out_channels,
-                       (self.conv_kernel, self.conv_kernel), padding="SAME")(x)
+        return _conv(self.out_channels, self.conv_kernel, x.shape[-1])(x)
 
 
 class ResidualBlock(nn.Module):
@@ -265,8 +282,7 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
         cut, hw = _filter_params(self.size, self.cutoff_den, self.half_width_mult)
-        out = nn.Conv(self.channels, (self.conv_kernel, self.conv_kernel),
-                      padding="SAME")(x)
+        out = _conv(self.channels, self.conv_kernel, x.shape[-1])(x)
         if self.use_time:
             out = FILM(self.channels, norm=self.norm)(out, time)
         if self.activation == "lrelu":
@@ -278,8 +294,7 @@ class ResidualBlock(nn.Module):
                 filter_size=self.filter_size,
                 lrelu_upsampling=self.lrelu_upsampling,
             )(out)
-        out = nn.Conv(self.channels, (self.conv_kernel, self.conv_kernel),
-                      padding="SAME")(out)
+        out = _conv(self.channels, self.conv_kernel, out.shape[-1])(out)
         if self.use_time:
             out = FILM(self.channels, norm=self.norm)(out, time)
         return x + out

@@ -53,8 +53,24 @@ class WNDense(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_f = x.shape[-1]
-        v = self.param("v", nn.initializers.lecun_normal(), (in_f, self.features))
-        g = self.param("g", nn.initializers.ones, (self.features,))
+        # reference init (`utils/linear.py:70-74`): v ~ kaiming_uniform(a=√5)
+        # = U(±1/√fan_in), g = ‖v_row‖ so the initial weight equals v.
+        # flax params draw independently, so g takes E‖v_row‖ = √(fan_in·
+        # bound²/3) = 1/√3 (exact in expectation, tight for fan_in ≫ 1) —
+        # matching the reference's initial weight scale instead of forcing
+        # unit-norm rows (g = 1).
+        bound = 1.0 / np.sqrt(in_f)
+        v = self.param(
+            "v",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -bound, bound),
+            (in_f, self.features),
+        )
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.full(shape, jnp.float32(1.0 / np.sqrt(3.0))),
+            (self.features,),
+        )
         norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + self.eps**2)
         w = v / norm * g[None, :]
         y = x @ w

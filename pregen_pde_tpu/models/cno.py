@@ -387,6 +387,7 @@ class CNO(nn.Module):
     n_res_neck: int = 6
     channel_multiplier: int = 32
     latent_lift_proj_dim: int = 64
+    conv_kernel: int = 3
     add_inv: bool = True
     use_time: bool = True
     norm: str = "instance"
@@ -400,6 +401,11 @@ class CNO(nn.Module):
     attention_dim_head_multiplier: float = 1.0
     attention_mlp_dim_multiplier: float = 1.0
     out_size: int | None = None  # None → in_size
+    # pad the latent grid up to the next 2^N_layers multiple (reference
+    # `expand_input`, `CNO_timeModule_CIN.py:609-632`: the lift's resampling
+    # activation carries in_size → latent_size, the projection back) —
+    # enables sizes the down/upsampling ladder doesn't divide
+    expand_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array | None = None) -> jax.Array:
@@ -415,15 +421,25 @@ class CNO(nn.Module):
             dec_feat_in[i] *= 2  # concat with expanded skips
         inv_feat = list(dec_feat_in) + [enc_feat[0] + dec_feat_out[-1]]
 
-        enc_sizes = [self.in_size // 2**i for i in range(nl + 1)]
-        dec_sizes = [out_size // 2 ** (nl - i) for i in range(nl + 1)]
+        # latent sizes (`:609-632`): expand_input jumps to the next 2^N
+        # multiple (e.g. 64 → 72 at N=3... reference's own example)
+        def latent(size):
+            if not self.expand_input:
+                return size
+            de = 2**nl
+            return size - (size % de) + de
+
+        latent_in, latent_out = latent(self.in_size), latent(out_size)
+        enc_sizes = [latent_in // 2**i for i in range(nl + 1)]
+        dec_sizes = [latent_out // 2 ** (nl - i) for i in range(nl + 1)]
 
         kw = dict(use_time=self.use_time, norm=self.norm,
-                  activation=self.activation)
+                  activation=self.activation, conv_kernel=self.conv_kernel)
 
         x = LiftProjectBlock(
             out_channels=enc_feat[0], in_size=self.in_size,
             out_size=enc_sizes[0], latent_dim=self.latent_lift_proj_dim,
+            conv_kernel=self.conv_kernel,
         )(x, time)
 
         skips = []
@@ -479,5 +495,6 @@ class CNO(nn.Module):
         x = LiftProjectBlock(
             out_channels=self.out_dim, in_size=dec_sizes[nl],
             out_size=out_size, latent_dim=self.latent_lift_proj_dim,
+            conv_kernel=self.conv_kernel,
         )(x, time)
         return x

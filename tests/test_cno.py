@@ -154,3 +154,26 @@ def test_film_batch_norm_option():
     assert all(
         np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_cno_expand_input_non_divisible_size():
+    """`expand_input` (reference `CNO_timeModule_CIN.py:609-632`): the latent
+    grid jumps to the next 2^N_layers multiple so sizes the ladder doesn't
+    divide still work; the lift/projection activations carry the resampling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pregen_pde_tpu.models.cno import CNO
+
+    m = CNO(in_size=50, out_dim=3, n_layers=2, n_res=1, n_res_neck=1,
+            channel_multiplier=8, latent_lift_proj_dim=8, expand_input=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 50, 50, 6)),
+                    jnp.float32)
+    t = jnp.ones((2,))
+    p = jax.jit(m.init)(jax.random.key(0), x, t)["params"]
+    y = np.asarray(m.apply({"params": p}, x, t))
+    assert y.shape == (2, 50, 50, 3)
+    assert np.isfinite(y).all()
+    # reference law: 50 % 4 = 2 -> latent 52 (lift resamples 50 -> 52)
+    lift_bias = p["LiftProjectBlock_0"]["CNOBlock_0"]["AntiAliasedLReLu_0"]
+    assert lift_bias["bias"].shape == (8,)

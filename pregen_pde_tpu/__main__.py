@@ -381,6 +381,69 @@ def _cmd_sweep_eval(args):
     print(json.dumps(results), flush=True)
 
 
+
+def _cmd_import_ckpt(args):
+    """Migrate a TRAINED reference torch checkpoint into an orbax checkpoint
+    this framework's `evaluate` / `finetune` commands can restore
+    (`pregen_pde_tpu.compat`; mappings pinned by the cross-implementation
+    oracle tests)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    try:
+        import torch
+    except ImportError:  # torch is only needed to READ the .pt container
+        raise SystemExit("importing a torch checkpoint requires torch")
+
+    raw = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)
+    if isinstance(raw, dict) and "state_dict" in raw:  # Lightning container
+        raw = raw["state_dict"]
+    sd = {}
+    for k, v in raw.items():
+        if not hasattr(v, "numpy"):
+            continue
+        # Lightning prefixes ("model."), DDP prefixes ("module.")
+        for pre in ("model.", "module."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v.detach().cpu().numpy()
+
+    from pregen_pde_tpu import compat
+
+    if args.model == "fno":
+        params = compat.import_fno_state_dict(sd, n_layers=args.n_layers)
+    elif args.model == "ffno":
+        params = compat.import_ffno_state_dict(sd, n_layers=args.n_layers)
+    elif args.model == "cno":
+        params = compat.import_cno_state_dict(
+            sd, n_layers=args.n_layers, n_res=args.n_res,
+            n_res_neck=args.n_res_neck)
+    elif args.model.startswith("scot"):
+        from pregen_pde_tpu.models.scot import MODEL_SIZES, ScOTConfig
+
+        size = args.model.split("-")[1].upper() if "-" in args.model else "T"
+        cfg = ScOTConfig(image_size=args.in_size, num_channels=args.in_dim,
+                         num_out_channels=3, **MODEL_SIZES[size])
+        params = compat.import_scot_state_dict(sd, cfg)
+    else:
+        raise SystemExit(f"unknown model {args.model}")
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(
+        Path(args.out).absolute(),
+        options=ocp.CheckpointManagerOptions(max_to_keep=1),
+    )
+    mgr.save(0, args=ocp.args.StandardSave(jax.device_get(params)))
+    mgr.wait_until_finished()
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    print(json.dumps({"imported": args.torch_ckpt, "model": args.model,
+                      "params_leaves": n_leaves, "out": args.out}),
+          flush=True)
+
+
 def _cmd_finetune(args):
     """Foundation-model fine-tuning (≡ `CNO_FineTune.py` + `fine_tune_lift.py`):
     wrap a pretrained checkpoint with 1×1-conv dimension adapters when the
@@ -603,6 +666,19 @@ def main(argv=None):
     t.add_argument("--remat", action="store_true",
                    help="rematerialize forward in backward (saves HBM)")
     t.set_defaults(fn=_cmd_train)
+
+    ic = sub.add_parser("import-ckpt", help="migrate a reference torch "
+                        "checkpoint (state_dict .pt) into an orbax ckpt")
+    ic.add_argument("--model", required=True,
+                    help="fno | ffno | cno | scot-T/S/B/L")
+    ic.add_argument("--torch-ckpt", required=True)
+    ic.add_argument("--out", required=True)
+    ic.add_argument("--n-layers", type=int, default=4)
+    ic.add_argument("--n-res", type=int, default=1)
+    ic.add_argument("--n-res-neck", type=int, default=6)
+    ic.add_argument("--in-size", type=int, default=128)
+    ic.add_argument("--in-dim", type=int, default=7)
+    ic.set_defaults(fn=_cmd_import_ckpt)
 
     ft = sub.add_parser("finetune")
     ft.add_argument("--model", default="cno",

@@ -1100,3 +1100,39 @@ def test_vit_bottleneck_matches_reference():
     y = np.asarray(ours.apply({"params": new}, jnp.asarray(x_nhwc)))
     assert y.shape == y_ref.shape
     assert _rel_err(y, y_ref) < 2e-4, _rel_err(y, y_ref)
+
+
+def test_import_ckpt_cli_roundtrip(tmp_path):
+    """`import-ckpt` CLI: reference torch .pt → orbax checkpoint → restored
+    flax forward ≡ the torch model (the full migration path a reference user
+    follows)."""
+    ref_mod = _import_ref("models.FNO")
+    torch.manual_seed(3)
+    tm = ref_mod.FNO(input_dim=4, output_dim=3, modes1=4, modes2=4, width=8,
+                     n_layers=2, retrain_fno=0).eval()
+    pt = tmp_path / "ref_fno.pt"
+    torch.save(tm.state_dict(), str(pt))
+
+    from pregen_pde_tpu.__main__ import main
+
+    out = tmp_path / "ckpt"
+    main(["import-ckpt", "--model", "fno", "--torch-ckpt", str(pt),
+          "--out", str(out), "--n-layers", "2"])
+
+    import orbax.checkpoint as ocp
+
+    from pregen_pde_tpu.models.fno import FNO2d
+
+    m = FNO2d(out_channels=3, modes=4, width=8, n_layers=2, append_grid=False)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 5)).astype(np.float32))
+    template = m.init(jax.random.key(0), x)["params"]
+    mgr = ocp.CheckpointManager(out.absolute())
+    params = mgr.restore(mgr.latest_step(),
+                         args=ocp.args.StandardRestore(jax.device_get(template)))
+    y = np.asarray(m.apply({"params": params}, x))
+    with torch.no_grad():
+        xt = torch.from_numpy(np.concatenate(
+            [np.asarray(x), np.ones((2, 16, 16, 1), np.float32)], -1))
+        y_ref = _t2n(tm(xt))
+    assert _rel_err(y, y_ref) < 3e-4, _rel_err(y, y_ref)

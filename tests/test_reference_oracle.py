@@ -1136,3 +1136,52 @@ def test_import_ckpt_cli_roundtrip(tmp_path):
             [np.asarray(x), np.ones((2, 16, 16, 1), np.float32)], -1))
         y_ref = _t2n(tm(xt))
     assert _rel_err(y, y_ref) < 3e-4, _rel_err(y, y_ref)
+
+
+def test_rm_rt_loaders_match_scot_classes(tmp_path):
+    """`richtmyer_meshkov` / `rayleigh_taylor` read the scOT filenames via
+    `alt_filenames` (CE-RM.nc / GCE-RT.nc) and match the ACTUAL scOT classes
+    (`fluids/compressible.py:56-190`): RM 4-channel, RT + gravity channel
+    (solution ch 5) with time normalizer 10."""
+    comp = _scot_problems("scOT.problems.fluids.compressible")
+    h5py = pytest.importorskip("h5py")
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    rng = np.random.default_rng(50)
+    res, n = 128, 3
+    with h5py.File(tmp_path / "CE-RM.nc", "w") as f:
+        f.create_dataset("solution", data=rng.normal(
+            size=(n, 21, 5, res, res)).astype(np.float32))
+    with h5py.File(tmp_path / "GCE-RT.nc", "w") as f:
+        f.create_dataset("solution", data=rng.normal(
+            size=(n, 11, 6, res, res)).astype(np.float32))
+
+    tref = comp.RichtmyerMeshkov(
+        which="train", num_trajectories=2, data_path=str(tmp_path),
+        max_num_time_steps=4, time_step_size=2,
+        allowed_time_transitions=[1, 2])
+    ours = get_dataset(
+        "fluids.compressible.RichtmyerMeshkov", str(tmp_path), "train",
+        num_trajectories=2,
+        cfg=TimePairConfig(max_num_time_steps=4, time_step_size=2,
+                           allowed_transitions=[1, 2],
+                           time_input=False, n_val=1, n_test=1))
+    assert len(ours) == len(tref)
+    for idx in range(0, len(tref), 4):
+        _cmp_scot_sample(tref[idx], ours[idx])
+
+    tref = comp.RayleighTaylor(
+        which="train", num_trajectories=2, data_path=str(tmp_path),
+        max_num_time_steps=5, time_step_size=1,
+        allowed_time_transitions=[1, 2])
+    ours = get_dataset(
+        "fluids.compressible.gravity.RayleighTaylor", str(tmp_path), "train",
+        num_trajectories=2,
+        cfg=TimePairConfig(max_num_time_steps=5, time_step_size=1,
+                           allowed_transitions=[1, 2],
+                           time_input=False, n_val=1, n_test=1))
+    assert len(ours) == len(tref)
+    for idx in range(0, len(tref), 4):
+        _cmp_scot_sample(tref[idx], ours[idx])

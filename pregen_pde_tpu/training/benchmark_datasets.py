@@ -858,6 +858,13 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
         )
         return TimePairDataset(np.asarray(data), cfg, which, **kw)
     if base in BENCHMARK_REGISTRY:
+        # per-family training-sample caps (`load_utils.py:13-20`: requests
+        # beyond the cap are clamped, not rejected)
+        n = kw.get("num_trajectories")
+        if isinstance(n, int) and n > 0:
+            for fam, cap in FAMILY_SAMPLE_CAPS.items():
+                if base.startswith(fam + "_") and n > cap:
+                    kw["num_trajectories"] = cap
         return BenchmarkTimeDataset(base, data_path, which, **kw)
     raise KeyError(
         f"unknown dataset {name!r}; known: ns_custom, {sorted(BENCHMARK_REGISTRY)}"

@@ -91,6 +91,13 @@ class ScOTConfig:
     use_mask_token: bool = False
     # skip-path residual family: "convnext" (`:133-187`) or "resnet" (`:190-216`)
     residual_model: str = "convnext"
+    # per-stage pretrained window sizes (HF Swinv2 CPB convention, consumed
+    # by `ScOTEncoder/Decoder` via `config.pretrained_window_sizes`): when a
+    # stage's entry is > 0 the log-CPB coordinate table is normalized by
+    # (pretrained_window − 1) instead of (window − 1), so a model fine-tuned
+    # at a different window size keeps its pretrained relative-position
+    # geometry. (0, 0, 0, 0) ≡ the reference default.
+    pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
 
 
 MODEL_SIZES = {
@@ -159,6 +166,7 @@ class WindowAttentionV2(nn.Module):
     qkv_bias: bool = True
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
+    pretrained_window_size: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -192,10 +200,14 @@ class WindowAttentionV2(nn.Module):
         scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
         attn = attn * scale
 
-        # continuous relative position bias (log-spaced coords → MLP → 16σ)
+        # continuous relative position bias (log-spaced coords → MLP → 16σ);
+        # normalized by (pretrained_window − 1) when fine-tuning from a model
+        # pretrained at another window size (HF Swinv2 CPB convention)
         coords = np.arange(-(ws - 1), ws, dtype=np.float32)
         table = np.stack(np.meshgrid(coords, coords, indexing="ij"), -1)  # (2w-1,2w-1,2)
-        table = table / max(ws - 1, 1) * 8.0
+        norm_w = (self.pretrained_window_size - 1
+                  if self.pretrained_window_size > 0 else max(ws - 1, 1))
+        table = table / norm_w * 8.0
         table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
         table = jnp.asarray(table.reshape(-1, 2))
         cpb = nn.Dense(512, kernel_init=_REF_INIT, name="cpb_mlp1")(table)
@@ -263,6 +275,7 @@ class SwinLayerV2(nn.Module):
     drop_path: float = 0.0
     hidden_dropout: float = 0.0
     attn_dropout: float = 0.0
+    pretrained_window_size: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array | None,
@@ -281,7 +294,9 @@ class SwinLayerV2(nn.Module):
         wins = WindowAttentionV2(
             dim=c, num_heads=self.num_heads, window_size=ws,
             qkv_bias=self.qkv_bias, attn_dropout=self.attn_dropout,
-            proj_dropout=self.hidden_dropout, name="attention",
+            proj_dropout=self.hidden_dropout,
+            pretrained_window_size=self.pretrained_window_size,
+            name="attention",
         )(wins, mask, deterministic)
         x = _window_reverse(wins, ws, h, w)
         if shift > 0:
@@ -515,6 +530,7 @@ class ScOT(nn.Module):
                     use_conditioning=uc, drop_path=enc_dpr[(i, d)],
                     hidden_dropout=cfg.hidden_dropout_prob,
                     attn_dropout=cfg.attention_probs_dropout_prob,
+                    pretrained_window_size=cfg.pretrained_window_sizes[i],
                     name=f"enc_{i}_blk_{d}",
                 )(x, time, det)
             skips.append(x)
@@ -549,6 +565,7 @@ class ScOT(nn.Module):
                     use_conditioning=uc, drop_path=dec_dpr[(i, d)],
                     hidden_dropout=cfg.hidden_dropout_prob,
                     attn_dropout=cfg.attention_probs_dropout_prob,
+                    pretrained_window_size=cfg.pretrained_window_sizes[i],
                     name=f"dec_{i}_blk_{d}",
                 )(x, time, det)
             if i > 0:

@@ -1185,3 +1185,70 @@ def test_rm_rt_loaders_match_scot_classes(tmp_path):
     assert len(ours) == len(tref)
     for idx in range(0, len(tref), 4):
         _cmp_scot_sample(tref[idx], ours[idx])
+
+
+def test_shear_and_masked_input_loaders_match_reference(tmp_path):
+    """Multi-file shear layer vs the ACTUAL reference
+    `ComplicatedShearLayerTimeDataset` (`CNO_TimeLoaders.py:620-719`):
+    4-file container, transposed frames, res-64 train path; and the
+    `masked_input` lift ([ρ≡1,u,v,p≡0] with the masked constants + the mask
+    tuple, `:646-651,699-719`) on the Gaussians loader."""
+    tl = _import_timeloaders()
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(60)
+    res, n, T = 64, 4, 21
+    d = tmp_path / "data_ns"
+    d.mkdir()
+    for k in (1, 2, 3, 4):
+        with h5py.File(d / f"N{res}_{k}.nc", "w") as f:
+            for i in range(n):
+                f.create_dataset(f"sample_{i}", data=rng.normal(
+                    size=(T, 2, res, res)).astype(np.float32))
+
+    tref = tl.ComplicatedShearLayerTimeDataset(
+        which="train", resolution=res, num_trajectories=3,
+        data_path=str(tmp_path), time_input=True,
+        max_num_time_steps=4, time_step_size=2, allowed_transitions=[1, 2],
+    )
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    cfg = TimePairConfig(max_num_time_steps=4, time_step_size=2,
+                         allowed_transitions=[1, 2], n_val=1, n_test=1)
+    ours = get_dataset("ns_shear", str(tmp_path), "train",
+                       num_trajectories=3, resolution=res, cfg=cfg)
+    assert len(ours) == len(tref)
+    for idx in range(0, len(tref), 5):
+        t_ref, in_ref, lab_ref = tref[idx]
+        t, inp, lab = ours[idx]
+        assert abs(float(t) - float(t_ref)) < 1e-7, idx
+        np.testing.assert_allclose(
+            inp, np.transpose(_t2n(in_ref), (1, 2, 0)), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            lab, np.transpose(_t2n(lab_ref), (1, 2, 0)), rtol=1e-6, atol=1e-6)
+
+    # masked_input on the Gaussians loader (same fixture layout)
+    with h5py.File(tmp_path / "gauss.nc", "w") as f:
+        for i in range(n):
+            f.create_dataset(f"sample_{i}", data=rng.normal(
+                size=(T, 2, 16, 16)).astype(np.float32))
+    mvec = [1.0, 1.0, 1.0, 0.0]
+    tref = tl.GaussiansTimeDataset(
+        which="train", resolution=16, num_trajectories=2,
+        data_path=str(tmp_path), time_input=True, masked_input=mvec,
+        max_num_time_steps=4, time_step_size=2, allowed_transitions=[1, 2],
+    )
+    ours = get_dataset("ns_gauss", str(tmp_path), "train",
+                       num_trajectories=2, masked_input=mvec, cfg=cfg)
+    assert len(ours) == len(tref)
+    for idx in range(0, len(tref), 7):
+        t_ref, in_ref, lab_ref, mask_ref = tref[idx]
+        t, inp, lab, mask = ours[idx]
+        assert abs(float(t) - float(t_ref)) < 1e-7, idx
+        np.testing.assert_allclose(
+            inp, np.transpose(_t2n(in_ref), (1, 2, 0)), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            lab, np.transpose(_t2n(lab_ref), (1, 2, 0)), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(mask, _t2n(mask_ref))

@@ -1252,3 +1252,88 @@ def test_shear_and_masked_input_loaders_match_reference(tmp_path):
         np.testing.assert_allclose(
             lab, np.transpose(_t2n(lab_ref), (1, 2, 0)), rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(mask, _t2n(mask_ref))
+
+
+def test_remaining_h5_loaders_match_reference(tmp_path):
+    """pwc_tracer / CNO KolmogorovFlow / Airfoil / Helmholtz vs the ACTUAL
+    reference classes (`CNO_TimeLoaders.py:1694-1748,1615-1688,1416-1462,
+    1370-1412`) — one oracle per remaining h5-readable container kind."""
+    tl = _import_timeloaders()
+    h5py = pytest.importorskip("h5py")
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import TimePairConfig
+
+    rng = np.random.default_rng(70)
+    cfg = TimePairConfig(max_num_time_steps=4, time_step_size=2,
+                         allowed_transitions=[1, 2], n_val=1, n_test=1)
+
+    def cmp(tref, ours, stride=5):
+        assert len(ours) == len(tref)
+        for idx in range(0, len(tref), stride):
+            t_ref, in_ref, lab_ref = tref[idx]
+            t, inp, lab = ours[idx]
+            assert abs(float(t) - float(t_ref)) < 1e-6, idx
+            np.testing.assert_allclose(
+                inp, np.transpose(_t2n(in_ref), (1, 2, 0)),
+                rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                lab, np.transpose(_t2n(lab_ref), (1, 2, 0)),
+                rtol=1e-5, atol=1e-5)
+
+    # pwc_tracer — h5 sample_<i> with 3 channels + tracer constants
+    with h5py.File(tmp_path / "pwc_tracer.nc", "w") as f:
+        for i in range(4):
+            f.create_dataset(f"sample_{i}", data=rng.normal(
+                size=(21, 3, 16, 16)).astype(np.float32))
+    cmp(tl.PiecewiseConstantsTraceTimeDataset(
+            which="train", resolution=16, num_trajectories=2,
+            data_path=str(tmp_path), time_input=True,
+            max_num_time_steps=4, time_step_size=2,
+            allowed_transitions=[1, 2]),
+        get_dataset("ns_pwc_tracer", str(tmp_path), "train",
+                    num_trajectories=2, cfg=cfg))
+
+    # CNO KolmogorovFlow — solution var + analytic forcing / 0.0707 (no mean)
+    kd = tmp_path / "incompressible_fluids" / "forcing"
+    kd.mkdir(parents=True)
+    with h5py.File(kd / "kolmogorov_pwc.nc", "w") as f:
+        f.create_dataset("solution", data=rng.normal(
+            size=(3, 21, 2, 128, 128)).astype(np.float32))
+    cmp(tl.KolmogorovFlow(
+            which="train", resolution=128, num_trajectories=2,
+            data_path=str(tmp_path), time_input=True,
+            max_num_time_steps=4, time_step_size=2,
+            allowed_transitions=[1, 2]),
+        get_dataset("kolmogorov", str(tmp_path), "train",
+                    num_trajectories=2, cfg=cfg), stride=7)
+
+    # Airfoil — steady, input NOT normalized, label z-scored, time channel 1
+    ad = tmp_path / "compressible_flow" / "steady"
+    ad.mkdir(parents=True)
+    with h5py.File(ad / "airfoil.nc", "w") as f:
+        f.create_dataset("solution", data=rng.normal(
+            size=(3, 2, 128, 128)).astype(np.float32))
+    cmp(tl.Airfoil(which="train", resolution=128, num_trajectories=2,
+                   data_path=str(tmp_path), time_input=True),
+        get_dataset("airfoil", str(tmp_path), "train", num_trajectories=2,
+                    cfg=cfg), stride=1)
+
+    # Helmholtz — Sample_<i> groups, a−1 + broadcast bc channel
+    hd = tmp_path / "helmholtz"
+    hd.mkdir()
+    with h5py.File(
+        hd / "HelmotzData_VaryingBC02501_2to8bumbs_w5over2pi_processed.h5",
+        "w",
+    ) as f:
+        for i in range(3):
+            g = f.create_group(f"Sample_{i}")
+            g.create_dataset("a", data=rng.normal(
+                size=(128, 128)).astype(np.float32) + 1.0)
+            g.create_dataset("bc", data=np.float32(rng.normal()))
+            g.create_dataset("u", data=rng.normal(
+                size=(128, 128)).astype(np.float32))
+    cmp(tl.Helmholtz(which="train", resolution=128, num_trajectories=2,
+                     data_path=str(tmp_path), time_input=True),
+        get_dataset("helmholtz", str(tmp_path), "train", num_trajectories=2,
+                    cfg=cfg), stride=1)

@@ -1337,3 +1337,36 @@ def test_remaining_h5_loaders_match_reference(tmp_path):
                      data_path=str(tmp_path), time_input=True),
         get_dataset("helmholtz", str(tmp_path), "train", num_trajectories=2,
                     cfg=cfg), stride=1)
+
+
+def test_poisson_loader_matches_scot_class(tmp_path):
+    """`poisson_gauss` via the scOT filename (`Poisson-Gauss.nc`,
+    alt_filenames) vs the ACTUAL scOT elliptic `Gaussians`
+    (`elliptic/poisson.py`): separate source/solution z-scores."""
+    pois = _scot_problems("scOT.problems.elliptic.poisson")
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(80)
+    with h5py.File(tmp_path / "Poisson-Gauss.nc", "w") as f:
+        f.create_dataset("source", data=rng.normal(
+            size=(3, 128, 128)).astype(np.float32))
+        f.create_dataset("solution", data=rng.normal(
+            size=(3, 128, 128)).astype(np.float32))
+
+    tref = pois.Gaussians(which="train", num_trajectories=2,
+                          data_path=str(tmp_path))
+
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+
+    ours = get_dataset("elliptic.poisson.Gaussians", str(tmp_path), "train",
+                       num_trajectories=2)
+    assert len(ours) == len(tref)
+    for idx in range(len(tref)):
+        ref_item = tref[idx]
+        t, inp, lab = ours[idx]
+        np.testing.assert_allclose(
+            inp, np.transpose(_t2n(ref_item["pixel_values"]), (1, 2, 0)),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            lab, np.transpose(_t2n(ref_item["labels"]), (1, 2, 0)),
+            rtol=1e-5, atol=1e-5)

@@ -186,3 +186,23 @@ def test_multihost_initialize_surfaces_configured_failures(monkeypatch):
         ),
     )
     multihost.initialize(coordinator_address="10.0.0.1:1234")  # no raise
+
+
+def test_persistent_compilation_cache_config(monkeypatch, tmp_path):
+    """`enable_persistent_cache` wires jax_compilation_cache_dir (the
+    896²/1024² Mosaic kernels pay their ~5-min compile once per machine) and
+    honours the opt-out env."""
+    import jax
+
+    from pregen_pde_tpu.utils.compcache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = enable_persistent_cache(str(tmp_path / "cache"))
+        assert d == str(tmp_path / "cache")
+        assert jax.config.jax_compilation_cache_dir == d
+        monkeypatch.setenv("PREGEN_PDE_NO_COMP_CACHE", "1")
+        assert enable_persistent_cache(str(tmp_path / "other")) is None
+        assert jax.config.jax_compilation_cache_dir == d  # unchanged
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -114,25 +114,30 @@ def _cmd_generate(args):
     print(json.dumps({"generated": args.n, "out": args.out}), flush=True)
 
 
-def _make_model(name, in_size):
+def _make_model(name, in_size, in_channels=7, out_channels=3):
+    """Model from dataset-derived dims (≡ `scOT/train.py:329-357` /
+    `TrainCNO_time_L.py:127-195`: in/out channels and image size come from
+    the dataset, never hardcoded)."""
     if name == "fno":
         from pregen_pde_tpu.models.fno import FNO2d
 
-        return FNO2d(out_channels=3)
+        return FNO2d(out_channels=out_channels)
     if name == "ffno":
         from pregen_pde_tpu.models.ffno import FFNO2d
 
-        return FFNO2d(out_channels=3)
+        return FFNO2d(out_channels=out_channels)
     if name == "cno":
         from pregen_pde_tpu.models.cno import CNO
 
-        return CNO(in_size=in_size, out_dim=3)
+        return CNO(in_size=in_size, out_dim=out_channels,
+                   expand_input=bool(in_size % 8))
     if name.startswith("scot"):
         from pregen_pde_tpu.models.scot import MODEL_SIZES, ScOT, ScOTConfig
 
         size = name.split("-")[1].upper() if "-" in name else "T"
-        return ScOT(ScOTConfig(image_size=in_size, num_channels=7,
-                               num_out_channels=3, **MODEL_SIZES[size]))
+        return ScOT(ScOTConfig(image_size=in_size, num_channels=in_channels,
+                               num_out_channels=out_channels,
+                               **MODEL_SIZES[size]))
     raise SystemExit(f"unknown model {name}")
 
 
@@ -142,16 +147,106 @@ def _load_data(path):
     return np.load(path, mmap_mode="r")
 
 
-def _trainer_cfg(args, ckpt=None):
+def _model_dims(ds):
+    """(in_size, in_channels, out_channels) read off one dataset sample —
+    the reference derives model dims from the dataset the same way
+    (`scOT/train.py:329-357`, `TrainCNO_time_L.py:127-145`)."""
+    item = ds[0]
+    _, inp, lab = item[0], item[1], item[2]
+    return inp.shape[0], inp.shape[-1], lab.shape[-1]
+
+
+def _split_name_path(data):
+    """`--data <name>:<path>` grammar: a benchmark dataset name (either
+    reference grammar) prefixed to the file/dir path. Plain paths (including
+    Windows-free POSIX paths with no ':') pass through."""
+    import os
+
+    if data and ":" in data and not os.path.exists(data):
+        name, path = data.split(":", 1)
+        return name, path
+    return None, data
+
+
+def _open_benchmark_split(names, data_dir, which, num_trajectories=None):
+    """Benchmark dataset(s) by name (comma list = multi-dataset pretraining
+    mix, ≡ `CNO_timeModule_CIN.py:1076-1123` eul_ns_mix1)."""
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+    from pregen_pde_tpu.training.datasets import make_pretraining_mix
+
+    kw = {}
+    if which == "train" and num_trajectories is not None:
+        kw["num_trajectories"] = num_trajectories
+    try:
+        parts = [get_dataset(n.strip(), data_dir, which, **kw)
+                 for n in names.split(",")]
+    except (KeyError, FileNotFoundError, ValueError) as e:
+        raise SystemExit(str(e)) from None
+    if len(parts) == 1:
+        return parts[0]
+    return make_pretraining_mix(parts)
+
+
+def _resolve_train_data(args, which_val="val"):
+    """(train_ds, val_ds) from either `--dataset <names> --data-dir <dir>`,
+    `--data <name>:<path>`, or a contract-npy `--data` path (legacy).
+    Benchmark names resolve through `get_dataset`/`NAME_ALIASES`
+    (≡ `scOT/train.py:219`, `TrainCNO_time_L.py:127-145`)."""
+    name, path = (args.dataset, args.data_dir) if args.dataset else \
+        _split_name_path(args.data)
+    if name is not None:
+        if path is None:
+            raise SystemExit("--dataset requires --data-dir")
+        ntr = getattr(args, "num_trajectories", None)
+        train = _open_benchmark_split(name, path, "train",
+                                      num_trajectories=ntr)
+        val = _open_benchmark_split(name, path, which_val)
+        return train, val
+    return None, None
+
+
+def _trainer_cfg(args, ckpt=None, lr_tiers=None):
     from pregen_pde_tpu.training.trainer import TrainerConfig
 
     return TrainerConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         ckpt_dir=ckpt,
+        warmup_frac=getattr(args, "warmup", 0.0) or 0.0,
         compute_dtype=getattr(args, "compute_dtype", None),
         zero_stage=getattr(args, "zero_stage", None),
         remat=bool(getattr(args, "remat", False)),
+        lr_tiers=lr_tiers,
     )
+
+
+def _build_trainer(args, model, ckpt=None, **trainer_kw):
+    """Trainer with the main-path multi-tier LR groups when requested
+    (≡ `scOT/trainer.py:77-227` learning_rate_embedding_recovery /
+    learning_rate_time_embedding — an scOT-only surface in the reference;
+    CNO's tiered LRs exist only in its FT regime → `finetune`)."""
+    from pregen_pde_tpu.training.trainer import Trainer
+
+    lr_emb = getattr(args, "lr_embedding", None)
+    lr_time = getattr(args, "lr_time_embedding", None)
+    lr_tiers = None
+    if lr_emb is not None or lr_time is not None:
+        if not args.model.startswith("scot"):
+            raise SystemExit(
+                "--lr-embedding/--lr-time-embedding mirror the scOT "
+                "main-path param groups (scOT/trainer.py:77-227); for CNO "
+                "use `finetune` (its reference tiers are FT-only, "
+                "CNO_timeModule_CIN.py:983-994)")
+        from pregen_pde_tpu.training.tiers import (
+            SCOT_TIER_DECAY,
+            scot_main_tier_fn,
+            scot_main_tiers,
+        )
+
+        lr_tiers = scot_main_tiers(args.lr, lr_emb, lr_time)
+        trainer_kw.setdefault("tier_fn", scot_main_tier_fn)
+        trainer_kw.setdefault("tier_decay", SCOT_TIER_DECAY)
+    return Trainer(model, _trainer_cfg(args, ckpt=ckpt, lr_tiers=lr_tiers),
+                   **trainer_kw)
 
 
 def _restore_params(ckpt_dir, model, sample_input, sample_time=None):
@@ -195,6 +290,29 @@ def _cmd_train(args):
     from pregen_pde_tpu.training.native_loader import make_batch_loader
     from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
 
+    if args.data is None and args.dataset is None:
+        raise SystemExit("train needs --data or --dataset/--data-dir")
+    train_ds, val_ds = _resolve_train_data(args)
+    if train_ds is not None:
+        # benchmark-dataset training (≡ the reference's primary workflow:
+        # `scOT/train.py:219` get_dataset + model dims from the dataset
+        # `:329-357`; `TrainCNO_time_L.py:127-195` registry lookup)
+        if args.ar_steps is not None:
+            raise SystemExit(
+                "--ar-steps training runs on the contract npy (--data); "
+                "AR evaluation on benchmark datasets: `evaluate`")
+        model = _make_model(args.model, *_model_dims(train_ds))
+        trainer = _build_trainer(args, model, ckpt=args.ckpt)
+        result = trainer.fit(
+            make_batch_loader(train_ds, args.batch_size, seed=0),
+            val_loaders={"val": BatchLoader(val_ds, args.batch_size,
+                                            shuffle=False)},
+            log_fn=lambda rec: print(json.dumps(rec), flush=True),
+        )
+        print(json.dumps({"best_mean_val_rel_%": result["best_metric"]}),
+              flush=True)
+        return
+
     data = np.asarray(_load_data(args.data))
     t_steps = data.shape[1] - 1
 
@@ -228,8 +346,8 @@ def _cmd_train(args):
                     yield batcher.make_batch(
                         np.arange(s * bs, min((s + 1) * bs, n)))
 
-        trainer = Trainer(model, _trainer_cfg(args, ckpt=args.ckpt),
-                          full_loss_fn=loss_fn)
+        trainer = _build_trainer(args, model, ckpt=args.ckpt,
+                                 full_loss_fn=loss_fn)
         result = trainer.fit(
             ARLoader(),
             log_fn=lambda rec: print(json.dumps(rec), flush=True),
@@ -251,8 +369,10 @@ def _cmd_train(args):
     )
     train = TimePairDataset(data, cfg, "train")
     val = TimePairDataset(data, cfg, "val", mean=train.mean, std=train.std)
-    model = _make_model(args.model, data.shape[2])
-    trainer = Trainer(model, _trainer_cfg(args, ckpt=args.ckpt))
+    model = _make_model(args.model, data.shape[2],
+                        in_channels=train.in_channels,
+                        out_channels=train.out_channels)
+    trainer = _build_trainer(args, model, ckpt=args.ckpt)
     result = trainer.fit(
         make_batch_loader(train, args.batch_size, seed=0),
         val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},
@@ -349,11 +469,70 @@ def _evaluate_ckpt(ckpt_dir, model_name, data, patterns_str, batch_size,
     return {"patterns": res, "accumulation": acc}
 
 
-def _cmd_evaluate(args):
-    """Rollout-pattern evaluation (≡ `TestCNO_ALL.py` patterns) + accumulation
-    error, from an orbax checkpoint."""
+def _direct_eval(model, params, dataset, batch_size):
+    """Direct (t1→t2 pair) test metrics on any time-pair-style dataset —
+    ≡ the reference's primary post-train test, `trainer.predict` relative-L1
+    stats (`scOT/train.py:581-640`, metrics `:439-555`)."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
+    from pregen_pde_tpu.training.datasets import BatchLoader
+    from pregen_pde_tpu.training.metrics import summarize_rel_errors
+
+    @jax.jit
+    def step(inp, time, lab):
+        pred = model.apply({"params": params}, inp, time).astype(jnp.float32)
+        axes = tuple(range(1, pred.ndim))
+        num = jnp.abs(pred - lab).sum(axes)
+        den = jnp.abs(lab).sum(axes) + 1e-10
+        return num / den * 100.0
+
+    rel = []
+    for batch in BatchLoader(dataset, batch_size, shuffle=False,
+                             drop_last=False):
+        rel.append(np.asarray(step(jnp.asarray(batch["input"]),
+                                   jnp.asarray(batch["time"]),
+                                   jnp.asarray(batch["label"]))))
+    return summarize_rel_errors(np.concatenate(rel))
+
+
+def _cmd_evaluate(args):
+    """Rollout-pattern evaluation (≡ `TestCNO_ALL.py` patterns) + accumulation
+    error, from an orbax checkpoint. With --dataset/--data-dir (or
+    `--data <name>:<path>`), evaluates the benchmark dataset's test split
+    directly (≡ `scOT/train.py:581-640` trainer.predict; use the `.out`
+    name modifier for the out-of-distribution horizon)."""
+    import numpy as np
+
+    if args.data is None and args.dataset is None:
+        raise SystemExit("evaluate needs --data or --dataset/--data-dir")
+    name, path = (args.dataset, args.data_dir) if args.dataset else \
+        _split_name_path(args.data)
+    if name is not None:
+        if path is None:
+            raise SystemExit("--dataset requires --data-dir")
+        test = _open_benchmark_split(name, path, "test")
+        model = _make_model(args.model, *_model_dims(test))
+        _, inp0, _ = test[0][:3]
+        t0 = np.asarray([test[0][0]], np.float32)
+        try:
+            params = _restore_params(args.ckpt, model, inp0, sample_time=t0)
+        except FileNotFoundError as e:
+            raise SystemExit(str(e)) from None
+        res = {"direct": _direct_eval(model, params, test, args.batch_size)}
+        if args.ar_steps is not None:
+            # AR rollout test (≡ scOT/train.py:666-695 set_ar_steps(k)):
+            # roll each test pair's horizon in k homogeneous sub-steps (or a
+            # comma list of fractions), feed predictions back, score the end
+            from pregen_pde_tpu.evalx.inference import ar_eval
+
+            steps = ([int(v) for v in args.ar_steps.split(",")]
+                     if "," in args.ar_steps else int(args.ar_steps))
+            res[f"ar_{args.ar_steps}"] = ar_eval(
+                model.apply, params, test, steps, args.batch_size)
+        print(json.dumps(res), flush=True)
+        return
     data = np.asarray(_load_data(args.data))
     try:
         res = _evaluate_ckpt(args.ckpt, args.model, data, args.patterns,
@@ -637,10 +816,33 @@ def main(argv=None):
 
     t = sub.add_parser("train")
     t.add_argument("--model", default="fno")
-    t.add_argument("--data", required=True)
+    t.add_argument("--data", default=None,
+                   help="contract .npy path, or '<name>:<path>' for a "
+                        "benchmark dataset (either reference name grammar)")
+    t.add_argument("--dataset", default=None,
+                   help="benchmark dataset name(s) (≡ scOT/train.py:219 "
+                        "get_dataset; both reference grammars via "
+                        "NAME_ALIASES); comma list = multi-dataset "
+                        "pretraining mix (≡ eul_ns_mix1, "
+                        "CNO_timeModule_CIN.py:1076-1123)")
+    t.add_argument("--data-dir", default=None,
+                   help="directory holding the benchmark container files")
+    t.add_argument("--num-trajectories", type=int, default=None,
+                   help="train trajectories; -1/-2/-8 = all/half/eighth "
+                        "(scOT/problems/base.py:242-247)")
     t.add_argument("--epochs", type=int, default=10)
     t.add_argument("--batch-size", type=int, default=16)
     t.add_argument("--lr", type=float, default=5e-5)
+    t.add_argument("--warmup", type=float, default=0.0,
+                   help="LR warmup fraction of total steps "
+                        "(≡ TrainingArguments warmup_ratio, scOT main path)")
+    t.add_argument("--lr-embedding", type=float, default=None,
+                   help="embedding/patch-recovery LR group (scOT only; "
+                        "≡ learning_rate_embedding_recovery, "
+                        "scOT/trainer.py:82-122)")
+    t.add_argument("--lr-time-embedding", type=float, default=None,
+                   help="conditional-norm time-embedding LR group (scOT "
+                        "only; ≡ learning_rate_time_embedding)")
     # ≡ reference `TrainCNO_time_L.py:151-163`: one = adjacent single steps,
     # one2all = (0 → t) pairs only, all = every jump size
     t.add_argument("--transitions", default="one",
@@ -727,9 +929,19 @@ def main(argv=None):
 
     e = sub.add_parser("evaluate")
     e.add_argument("--model", default="fno")
-    e.add_argument("--data", required=True)
+    e.add_argument("--data", default=None,
+                   help="contract .npy path, or '<name>:<path>' for a "
+                        "benchmark dataset test split")
+    e.add_argument("--dataset", default=None,
+                   help="benchmark dataset name (supports the .out "
+                        "out-of-distribution horizon modifier)")
+    e.add_argument("--data-dir", default=None)
     e.add_argument("--ckpt", required=True)
     e.add_argument("--patterns", default="[7];[2,2,2,1];[1,1,1,1,1,1,1]")
+    e.add_argument("--ar-steps", default=None,
+                   help="benchmark-dataset AR rollout test (≡ scOT "
+                        "set_ar_steps): int k = k homogeneous sub-steps per "
+                        "test pair, comma list = heterogeneous fractions")
     e.add_argument("--label-description", default=None,
                    help="per-variable-group error reporting, reference "
                         "grammar: e.g. '[Ux,Uy],[p]' (scOT "
@@ -754,6 +966,12 @@ def main(argv=None):
     b.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)
+    # persistent XLA/Mosaic compilation cache: the 896²/1024² Pallas kernels
+    # cost ~5 min of Mosaic compile per shape — pay it once per machine, not
+    # per process (PERF.md compile-time table)
+    from pregen_pde_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
     args.fn(args)
 
 

@@ -55,25 +55,34 @@ def build_time_indices(cfg: TimePairConfig) -> list[tuple[int, int]]:
     return out
 
 
-def compute_stats(arrays: Sequence[np.ndarray], n_channels: int = 3):
+def compute_stats(arrays: Sequence[np.ndarray], n_channels: int = 3,
+                  chunk_rows: int = 64):
     """Global mean/std of the first ``n_channels`` across several (N,T,H,W,C)
-    arrays — the reference's `streaming_stats` (`mixingexp.py:275-296`)."""
+    arrays — the reference's `streaming_stats` (`mixingexp.py:275-296`).
+
+    Streams `chunk_rows` trajectories at a time (Chan et al. pairwise
+    merge), so memmapped 20 GB shards never materialize in RAM — the
+    reference streams per-file the same way."""
     count = 0
     mean = np.zeros(n_channels, np.float64)
     m2 = np.zeros(n_channels, np.float64)
     for a in arrays:
-        x = a[..., :n_channels].reshape(-1, n_channels).astype(np.float64)
-        n = x.shape[0]
-        new_mean = x.mean(0)
-        new_m2 = ((x - new_mean) ** 2).sum(0)
-        if count == 0:
-            mean, m2, count = new_mean, new_m2, n
-        else:
-            delta = new_mean - mean
-            tot = count + n
-            mean = mean + delta * n / tot
-            m2 = m2 + new_m2 + delta**2 * count * n / tot
-            count = tot
+        for s in range(0, a.shape[0], chunk_rows):
+            x = np.asarray(a[s:s + chunk_rows, ..., :n_channels],
+                           np.float64).reshape(-1, n_channels)
+            n = x.shape[0]
+            if n == 0:
+                continue
+            new_mean = x.mean(0)
+            new_m2 = ((x - new_mean) ** 2).sum(0)
+            if count == 0:
+                mean, m2, count = new_mean, new_m2, n
+            else:
+                delta = new_mean - mean
+                tot = count + n
+                mean = mean + delta * n / tot
+                m2 = m2 + new_m2 + delta**2 * count * n / tot
+                count = tot
     std = np.sqrt(m2 / max(count, 1))
     std = np.where(std < 1e-10, 1.0, std)
     return mean.astype(np.float32), std.astype(np.float32)

@@ -50,6 +50,11 @@ class TrainerConfig:
     # multi-tier learning rates: map from tier name → lr; params are assigned
     # to tiers by `lr_tier_fn(path) -> name` (None → single tier)
     lr_tiers: dict[str, float] | None = None
+    # single-tier weight-decay placement: "matrix" decays only ndim≥2 leaves
+    # (≡ HF's no-decay split for scOT), "all" decays every param (≡ the
+    # reference CNO's ungrouped AdamW, `CNO_timeModule_CIN.py:996`),
+    # "none" disables decay
+    decay_mask_mode: str = "matrix"
     # mixed precision: compute forward/backward in this dtype while the
     # optimizer keeps float32 master weights (measured 1.65x on CNO/v5e);
     # None → full f32. Loss is always reduced in f32.
@@ -70,13 +75,20 @@ class TrainState(train_state.TrainState):
 
 def _label_params(params, tier_fn: Callable[[tuple], str]):
     def label(path, _leaf):
-        return tier_fn(tuple(str(p) for p in path))
+        # raw key names ("patch_embed", "kernel"), NOT str(DictKey(...))
+        # (= "['patch_embed']") — tier functions match path elements exactly
+        return tier_fn(tuple(getattr(p, "key", str(p)) for p in path))
 
     return jax.tree_util.tree_map_with_path(label, params)
 
 
 def build_optimizer(cfg: TrainerConfig, steps_per_epoch: int,
-                    params=None, tier_fn=None):
+                    params=None, tier_fn=None, tier_decay=None):
+    """``tier_decay`` (optional, used with ``cfg.lr_tiers``): tier name →
+    weight-decay semantics for that group, mirroring torch param groups
+    (one decay flag per group, `scOT/trainer.py:103-122`): "all" decays
+    every member (biases too), "none" decays nothing, "matrix" (default)
+    decays only ndim≥2 leaves."""
     total_steps = max(cfg.epochs * steps_per_epoch, 1)
 
     def make_sched(lr):
@@ -102,18 +114,24 @@ def build_optimizer(cfg: TrainerConfig, steps_per_epoch: int,
             lambda l: getattr(l, "ndim", 0) >= 2, tree
         )
 
-    def make_tx(lr):
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(make_sched(lr), weight_decay=cfg.weight_decay,
-                        mask=decay_mask),
-        )
+    def make_tx(lr, decay: str = "matrix"):
+        wd = 0.0 if decay == "none" else cfg.weight_decay
+        mask = decay_mask if decay == "matrix" else None
+        return optax.adamw(make_sched(lr), weight_decay=wd, mask=mask)
 
     if cfg.lr_tiers and tier_fn is not None and params is not None:
         labels = _label_params(params, tier_fn)
-        txs = {name: make_tx(lr) for name, lr in cfg.lr_tiers.items()}
-        return optax.multi_transform(txs, labels)
-    return make_tx(cfg.learning_rate)
+        txs = {
+            name: make_tx(lr, (tier_decay or {}).get(name, "matrix"))
+            for name, lr in cfg.lr_tiers.items()
+        }
+        inner = optax.multi_transform(txs, labels)
+    else:
+        inner = make_tx(cfg.learning_rate, cfg.decay_mask_mode)
+    # clip OUTSIDE the (possibly tiered) optimizer: the reference clips the
+    # GLOBAL gradient norm across all param groups (HF max_grad_norm /
+    # Lightning gradient_clip_val), never per-group
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), inner)
 
 
 class Trainer:
@@ -125,11 +143,14 @@ class Trainer:
         loss_fn: Callable | None = None,
         tier_fn: Callable | None = None,
         full_loss_fn: Callable | None = None,
+        tier_decay: dict[str, str] | None = None,
     ):
         """``loss_fn(pred, label)`` customizes the pointwise loss;
         ``full_loss_fn(params, batch)`` replaces the whole objective (used for
         AR-rollout training via `training.ar.make_ar_loss` — batches then
-        carry {"input", "labels", ...} instead of a single "label")."""
+        carry {"input", "labels", ...} instead of a single "label");
+        ``tier_decay`` maps tier name → per-group weight-decay semantics
+        (see `build_optimizer`)."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -149,6 +170,7 @@ class Trainer:
         )
         self.full_loss_fn = full_loss_fn
         self.tier_fn = tier_fn
+        self.tier_decay = tier_decay
         self.state: TrainState | None = None
         self.history: list[dict] = []
         self.best_metric = float("inf")
@@ -184,7 +206,8 @@ class Trainer:
         params = jax.tree_util.tree_map(
             lambda l: jax.lax.convert_element_type(l, l.dtype), params
         )
-        tx = build_optimizer(self.cfg, steps_per_epoch, params, self.tier_fn)
+        tx = build_optimizer(self.cfg, steps_per_epoch, params, self.tier_fn,
+                             self.tier_decay)
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx
         )

@@ -188,3 +188,21 @@ def test_weight_decay_skips_biases_and_norms():
     assert float(jnp.abs(new["Dense_0"]["kernel"] - 1).max()) > 1e-3
     np.testing.assert_allclose(np.asarray(new["Dense_0"]["bias"]), 1.0)
     np.testing.assert_allclose(np.asarray(new["norm"]["scale"]), 1.0)
+
+
+def test_compute_stats_streams_chunks_identically():
+    """Chunked streaming stats == whole-array stats (chunking must not
+    change the Chan-merge result; memmapped 20 GB shards rely on it)."""
+    import numpy as np
+
+    from pregen_pde_tpu.training.datasets import compute_stats
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(2.0, 3.0, size=(13, 4, 6, 6, 6)).astype(np.float32)
+    b = rng.normal(-1.0, 0.5, size=(7, 4, 6, 6, 6)).astype(np.float32)
+    m1, s1 = compute_stats([a, b], chunk_rows=3)
+    m2, s2 = compute_stats([a, b], chunk_rows=10**9)
+    np.testing.assert_allclose(m1, m2, rtol=1e-6)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    ref_m = np.concatenate([a.reshape(-1, 6), b.reshape(-1, 6)])[:, :3].mean(0)
+    np.testing.assert_allclose(m1, ref_m, rtol=1e-5)

@@ -1370,3 +1370,290 @@ def test_poisson_loader_matches_scot_class(tmp_path):
         np.testing.assert_allclose(
             lab, np.transpose(_t2n(ref_item["labels"]), (1, 2, 0)),
             rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# optimizer-step oracles (gradients + one AdamW step on transplanted weights)
+# ---------------------------------------------------------------------------
+
+
+def _max_rel_err(a_leaves, b_leaves):
+    """Worst per-leaf max-abs-diff, normalized with a GLOBAL floor: leaves
+    whose true value is mathematically zero (e.g. conv-bias grads ahead of
+    instance norm, ~1e-12 roundoff on both sides) must not divide by their
+    own noise."""
+    a_leaves, b_leaves = list(a_leaves), list(b_leaves)
+    global_max = max(
+        float(np.abs(np.asarray(b)).max()) for b in b_leaves
+    ) + 1e-30
+    worst = 0.0
+    for a, b in zip(a_leaves, b_leaves):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(float(np.abs(b).max()), 1e-4 * global_max)
+        worst = max(worst, float(np.abs(a - b).max() / denom))
+    return worst
+
+
+def test_cno_adamw_step_matches_reference():
+    """Gradients + two AdamW steps on transplanted CNO weights, torch vs
+    optax (VERDICT r2 item 7).
+
+    Pins the pieces forward oracles can't see: the backward pass through the
+    transplanted weights, the reference's training loss
+    (L1(pred,lab)/L1(0,lab), `CNO_timeModule_CIN.py:938-939`), AdamW
+    betas/eps, and — deliberately with a LARGE weight decay — the reference
+    CNO's decay placement: its non-FT optimizer decays EVERY param, biases
+    and norm affines included (`:996` AdamW(self.parameters(), ...)), which
+    `TrainerConfig.decay_mask_mode="all"` mirrors. Global-norm clipping
+    (Lightning gradient_clip_val semantics) binds on the second step via the
+    Adam v-accumulator."""
+    ref = _import_cno_model()
+    torch.manual_seed(0)
+    nl, n_res, n_res_neck, mult = 2, 1, 2, 8
+    tm = ref.CNO_time(
+        in_dim=6, in_size=16, N_layers=nl, N_res=n_res,
+        N_res_neck=n_res_neck, channel_multiplier=mult,
+        latent_lift_proj_dim=8, out_dim=3, batch_norm=1,
+        is_time=1, nl_dim=[2, 3], activation="cno_lrelu",
+    ).eval()  # same mode as the forward oracle (train-mode BN running-stat
+    # bookkeeping is torch-internal state, not model math)
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(7)
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(2, 16, 16, 6)).astype(np.float32)
+    t = np.asarray([0.25, 0.75], np.float32)
+    lab = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+
+    # --- torch side: loss → backward → clip(5) → 2 AdamW steps ------------
+    # .copy(): _t2n returns views sharing torch storage — opt.step() would
+    # silently mutate the "snapshot" in place
+    sd0 = {k: _t2n(v).copy() for k, v in tm.state_dict().items()}
+    tx_, tt, tlab = _nchw(x), torch.from_numpy(t), _nchw(lab)
+    pred = tm(tx_, tt)
+    import torch.nn as tnn
+
+    loss_ref = tnn.L1Loss()(tlab, pred) / tnn.L1Loss()(
+        torch.zeros_like(tlab), tlab)
+    loss_ref.backward()
+    # None grad = param unused in this forward config (e.g. the disabled
+    # ViT bottleneck); zeros on both sides, and the comparison below still
+    # catches any param WE wrongly leave unused
+    grads_ref = {
+        n: (_t2n(p.grad).copy() if p.grad is not None
+            else np.zeros(tuple(p.shape), np.float32))
+        for n, p in tm.named_parameters()
+    }
+    # --- ours: same loss + gradient tree through the framework --------------
+    from pregen_pde_tpu.compat import import_cno_state_dict
+    from pregen_pde_tpu.models.cno import CNO
+    from pregen_pde_tpu.training.trainer import TrainerConfig, build_optimizer
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    imp = lambda sd: import_cno_state_dict(
+        sd, n_layers=nl, n_res=n_res, n_res_neck=n_res_neck)
+    params0 = imp(sd0)
+    ours = CNO(in_size=16, out_dim=3, n_layers=nl, n_res=n_res,
+               n_res_neck=n_res_neck, channel_multiplier=mult,
+               latent_lift_proj_dim=8, use_time=True, norm="instance")
+
+    def loss_fn(p):
+        pred = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(t))
+        labj = jnp.asarray(lab)
+        return jnp.abs(labj - pred).mean() / jnp.abs(labj).mean()
+
+    loss_ours, grads_ours = jax.jit(jax.value_and_grad(loss_fn))(params0)
+    assert abs(float(loss_ours) - float(loss_ref.detach())) < 5e-5, (
+        float(loss_ours), float(loss_ref.detach()))
+
+    # gradient tree agreement (grads re-laid-out by the same importer —
+    # it only transposes/reshapes, which commutes with d/dθ)
+    grads_from_ref = imp({k: grads_ref.get(k, np.zeros_like(v))
+                          for k, v in sd0.items()})
+    err = _max_rel_err(jax.tree_util.tree_leaves(grads_ours),
+                       jax.tree_util.tree_leaves(grads_from_ref))
+    assert err < 2e-3, err
+
+    # --- optimizer: SYNTHETIC identical grads on both sides ----------------
+    # (computed grads on math-zero-grad leaves — conv biases ahead of
+    # instance norm — are pure roundoff; with |g| ~ adam eps the update
+    # g/(|g|+eps) is O(1)-sensitive to that noise, so the step oracle
+    # injects known grads instead; the backward pass is already pinned above)
+    grng = np.random.default_rng(99)
+    grads_syn = {n: grng.normal(size=tuple(p.shape)).astype(np.float32) * 0.02
+                 for n, p in tm.named_parameters()}
+    for n, p in tm.named_parameters():
+        p.grad = torch.from_numpy(grads_syn[n].copy())
+    torch.nn.utils.clip_grad_norm_(tm.parameters(), 5.0)
+    opt = torch.optim.AdamW(tm.parameters(), lr=1e-3, weight_decay=0.05)
+    opt.step()
+    opt.step()  # same (clipped) grads; step 2 makes the clip observable
+    sd2 = {k: _t2n(v).copy() for k, v in tm.state_dict().items()}
+
+    g_ours = imp({k: grads_syn.get(k, np.zeros_like(v))
+                  for k, v in sd0.items()})
+    cfg = TrainerConfig(learning_rate=1e-3, weight_decay=0.05,
+                        grad_clip=5.0, schedule="constant",
+                        decay_mask_mode="all")
+    tx = build_optimizer(cfg, steps_per_epoch=1)
+    state = tx.init(params0)
+    p1 = params0
+    for _ in range(2):
+        updates, state = tx.update(g_ours, state, p1)
+        p1 = optax.apply_updates(p1, updates)
+
+    params2_ref = imp(sd2)
+    # compare the parameter DELTAS (the params themselves agree trivially)
+    d_ours = jax.tree_util.tree_map(lambda a, b: a - b, p1, params0)
+    d_ref = jax.tree_util.tree_map(lambda a, b: np.asarray(a) - np.asarray(b),
+                                   params2_ref, params0)
+    err = _max_rel_err(jax.tree_util.tree_leaves(d_ours),
+                       jax.tree_util.tree_leaves(d_ref))
+    assert err < 2e-3, err
+
+
+def test_scot_adamw_step_matches_reference_param_groups():
+    """Two AdamW steps through the ACTUAL reference scOT Trainer's
+    4-param-group optimizer (`scOT/trainer.py:77-227` create_optimizer,
+    executed — not transcribed) vs `build_optimizer` with
+    `scot_main_tier_fn`/`SCOT_TIER_DECAY`/`scot_main_tiers`.
+
+    Distinct per-group LRs (base 1e-3, embeddings 3e-3, time-embedding 1e-2)
+    and a large weight decay (0.05) make any group-assignment or
+    decay-placement drift visible in the step deltas — including the
+    reference quirks: the conditional norm's scale-Linear kernel sits in
+    the base-LR decay group (HF's literal '"bias" not in name' filter), and
+    the embeddings group decays its biases."""
+    sys.path.insert(0, POS)
+    try:
+        ref = importlib.import_module("scOT.model")
+        ref_tr = importlib.import_module("scOT.trainer")
+    finally:
+        sys.path.remove(POS)
+
+    torch.manual_seed(0)
+    depths, heads = [2, 2], [2, 2]
+    tcfg = ref.ScOTConfig(
+        image_size=32, patch_size=4, num_channels=4, num_out_channels=3,
+        embed_dim=8, depths=depths, num_heads=heads, skip_connections=[1, 0],
+        window_size=4, mlp_ratio=4.0, qkv_bias=True,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0, use_absolute_embeddings=False,
+        layer_norm_eps=1e-5, p=1, channel_slice_list_normalized_loss=None,
+        residual_model="convnext", use_conditioning=True, learn_residual=False,
+    )
+    tm = ref.ScOT(tcfg).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(11)
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(2, 32, 32, 4)).astype(np.float32)
+    t = np.asarray([0.3, 0.9], np.float32)
+    w = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)  # loss weights
+
+    sd0 = {k: _t2n(v).copy() for k, v in tm.state_dict().items()}
+    pred = tm(pixel_values=_nchw(x), time=torch.from_numpy(t)).output
+    loss_ref = (pred * _nchw(w)).mean()
+    loss_ref.backward()
+    grads_ref = {n: _t2n(p.grad).copy() for n, p in tm.named_parameters()}
+
+    # synthetic identical grads for the optimizer steps (see the CNO test:
+    # math-zero-grad leaves near adam eps make computed-grad steps
+    # irreproducible; backward equivalence is asserted separately below)
+    grng = np.random.default_rng(99)
+    grads_syn = {n: grng.normal(size=tuple(p.shape)).astype(np.float32) * 0.02
+                 for n, p in tm.named_parameters()}
+    for n, p in tm.named_parameters():
+        p.grad = torch.from_numpy(grads_syn[n].copy())
+    torch.nn.utils.clip_grad_norm_(tm.parameters(), 5.0)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        targs = ref_tr.TrainingArguments(
+            output_dir=td, learning_rate=1e-3, weight_decay=0.05,
+            learning_rate_embedding_recovery=3e-3,
+            learning_rate_time_embedding=1e-2,
+            adam_beta1=0.9, adam_beta2=0.999, adam_epsilon=1e-8,
+            report_to=[], use_cpu=True,
+        )
+        trainer = ref_tr.Trainer(model=tm, args=targs)
+        # pin the decay-name filter to the reference's PINNED
+        # transformers==4.29.2 (class-LayerNorm + literal "bias" substring;
+        # ≥4.44 added layernorm/norm name patterns that reshuffle the
+        # conditional-norm scale kernels between groups)
+        from transformers.trainer_pt_utils import get_parameter_names as _gpn
+
+        import torch.nn as _tnn
+
+        trainer.get_decay_parameter_names = lambda model: [
+            n for n in _gpn(model, [_tnn.LayerNorm]) if "bias" not in n
+        ]
+        opt = trainer.create_optimizer()
+    opt.step()
+    opt.step()
+    sd2 = {k: _t2n(v).copy() for k, v in tm.state_dict().items()}
+
+    # --- ours ---------------------------------------------------------------
+    from pregen_pde_tpu.compat import import_scot_state_dict
+    from pregen_pde_tpu.models.scot import ScOT, ScOTConfig
+    from pregen_pde_tpu.training.tiers import (
+        SCOT_TIER_DECAY,
+        scot_main_tier_fn,
+        scot_main_tiers,
+    )
+    from pregen_pde_tpu.training.trainer import TrainerConfig, build_optimizer
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    ours = ScOT(ScOTConfig(
+        image_size=32, patch_size=4, num_channels=4, num_out_channels=3,
+        embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+        skip_connections=(1, 0), window_size=4, use_conditioning=True,
+        learn_residual=False, drop_path_rate=0.0,
+    ))
+    imp = lambda sd: import_scot_state_dict(sd, ours.config)
+    params0 = imp(sd0)
+
+    def loss_fn(p):
+        pred = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(t))
+        return (pred * jnp.asarray(w)).mean()
+
+    loss_ours, grads_ours = jax.jit(jax.value_and_grad(loss_fn))(params0)
+    assert abs(float(loss_ours) - float(loss_ref.detach())) < 5e-5
+    grads_from_ref = imp({k: grads_ref.get(k, np.zeros_like(v))
+                          for k, v in sd0.items()})
+    err = _max_rel_err(jax.tree_util.tree_leaves(grads_ours),
+                       jax.tree_util.tree_leaves(grads_from_ref))
+    assert err < 2e-3, err
+
+    g_ours = imp({k: grads_syn.get(k, np.zeros_like(v))
+                  for k, v in sd0.items()})
+    cfg = TrainerConfig(
+        learning_rate=1e-3, weight_decay=0.05, grad_clip=5.0,
+        schedule="constant",
+        lr_tiers=scot_main_tiers(1e-3, 3e-3, 1e-2),
+    )
+    tx = build_optimizer(cfg, 1, params0, scot_main_tier_fn, SCOT_TIER_DECAY)
+    state = tx.init(params0)
+    p1 = params0
+    for _ in range(2):
+        updates, state = tx.update(g_ours, state, p1)
+        p1 = optax.apply_updates(p1, updates)
+
+    params2_ref = imp(sd2)
+    d_ours = jax.tree_util.tree_map(lambda a, b: a - b, p1, params0)
+    d_ref = jax.tree_util.tree_map(lambda a, b: np.asarray(a) - np.asarray(b),
+                                   params2_ref, params0)
+    err = _max_rel_err(jax.tree_util.tree_leaves(d_ours),
+                       jax.tree_util.tree_leaves(d_ref))
+    assert err < 2e-3, err

@@ -128,3 +128,65 @@ def save_samples(
     lab = (lab - dataset.mean) / dataset.std
     np.savez(path, input=np.asarray(x), prediction=pred, label=lab)
     return path
+
+
+def ar_eval(
+    apply_fn: Callable,
+    params,
+    dataset,
+    ar_steps: int | Sequence[int],
+    batch_size: int = 16,
+) -> dict:
+    """Autoregressive rollout test over any time-pair dataset — the
+    reference's post-train AR evaluation (`scOT/train.py:666-695`:
+    `trainer.set_ar_steps(k)` then predict; `scOT/trainer.py:240-316`
+    `_model_forward`): roll the model to each sample's (t1 → t2) horizon in
+    ``ar_steps`` homogeneous sub-steps (or a heterogeneous list of
+    fractions), feeding the prediction back; score the FINAL state against
+    the label.
+
+    The dataset supplies samples `(time, input, label)` — works for
+    `TimePairDataset` and `BenchmarkTimeDataset` alike (aux input channels
+    beyond the label width — wave speed, forcing, lead-time channel — stay
+    frozen across the rollout, ≡ the reference's static-channel re-concat
+    when in_dim > out_dim, `trainer.py:262-276`). Returns the same summary
+    stats as the direct evaluation."""
+    from pregen_pde_tpu.training.datasets import BatchLoader
+    from pregen_pde_tpu.training.metrics import summarize_rel_errors
+
+    if isinstance(ar_steps, int):
+        fracs = [1.0 / ar_steps] * ar_steps
+    else:
+        total = float(sum(ar_steps))
+        fracs = [s / total for s in ar_steps]
+    fracs_t = tuple(float(f) for f in fracs)
+
+    @jax.jit
+    def roll(inp, time, lab):
+        x = inp
+        out_c = lab.shape[-1]
+        time_ch = inp.shape[-1] > out_c and bool(
+            getattr(dataset.cfg, "time_input", False))
+        for f in fracs_t:
+            t_sub = time * f
+            if time_ch:  # the lead-time channel tracks the SUB-step time
+                tch = jnp.broadcast_to(
+                    t_sub[:, None, None, None],
+                    (*x.shape[:3], 1)).astype(x.dtype)
+                x = jnp.concatenate([x[..., :-1], tch], axis=-1)
+            pred = apply_fn({"params": params}, x, t_sub)
+            x = x.at[..., :out_c].set(pred.astype(x.dtype))
+        pred = x[..., :out_c].astype(jnp.float32)
+        labf = lab.astype(jnp.float32)
+        axes = tuple(range(1, pred.ndim))
+        num = jnp.abs(pred - labf).sum(axes)
+        den = jnp.abs(labf).sum(axes) + 1e-10
+        return num / den * 100.0
+
+    rel = []
+    for batch in BatchLoader(dataset, batch_size, shuffle=False,
+                             drop_last=False):
+        rel.append(np.asarray(roll(jnp.asarray(batch["input"]),
+                                   jnp.asarray(batch["time"]),
+                                   jnp.asarray(batch["label"]))))
+    return summarize_rel_errors(np.concatenate(rel))

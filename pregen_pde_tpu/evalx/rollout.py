@@ -66,7 +66,10 @@ def rollout_pattern(
             pred = jnp.where(pixel_mask, forced_labels[s_idx].astype(pred.dtype),
                              pred)
         preds.append(pred)
-        x = x.at[..., :out_channels].set(pred)
+        # explicit cast: an implicit f64→f32 scatter cast is a FutureWarning
+        # slated to become an error (and dtype-tiered runs do mix f32 preds
+        # into f64 rollout state under jax_enable_x64 tests)
+        x = x.at[..., :out_channels].set(pred.astype(x.dtype))
     return preds
 
 

@@ -183,3 +183,85 @@ def test_plots_and_pretraining_mix(tmp_path):
     mix = make_pretraining_mix([a, b])
     assert len(mix) == len(a) + len(b)
     assert mix[len(a)][1].shape == a[0][1].shape
+
+
+def test_ar_eval_composes_substeps_exactly():
+    """`ar_eval` rolls k homogeneous sub-steps feeding predictions back
+    (≡ scOT set_ar_steps, `scOT/trainer.py:240-316`): with linear dynamics
+    pred = (1 + t_sub)·x, a k-step rollout composes to Π(1 + t/k)·x0 — a
+    label built that way scores ~0 error, and a 1-step label scores large."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pregen_pde_tpu.evalx.inference import ar_eval
+
+    @dataclasses.dataclass
+    class Cfg:
+        time_input: bool = False
+
+    class DS:
+        cfg = Cfg()
+
+        def __init__(self, k):
+            rng = np.random.default_rng(0)
+            self.x0 = rng.normal(size=(6, 8, 8, 2)).astype(np.float32)
+            self.t = np.full((6,), 0.8, np.float32)
+            gain = (1.0 + 0.8 / k) ** k
+            self.lab = (gain * self.x0).astype(np.float32)
+
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return self.t[i], self.x0[i], self.lab[i]
+
+    def apply_fn(_vars, x, t):
+        return x * (1.0 + t)[:, None, None, None]
+
+    res = ar_eval(apply_fn, {}, DS(4), 4, batch_size=3)
+    assert res["max_rel_%"] < 1e-3, res
+    # wrong sub-step count → composition differs → visible error
+    res_wrong = ar_eval(apply_fn, {}, DS(4), 1, batch_size=3)
+    assert res_wrong["max_rel_%"] > 1.0, res_wrong
+
+
+def test_ar_eval_heterogeneous_fractions_and_static_channels():
+    """Heterogeneous step lists normalize to fractions of the pair horizon;
+    channels beyond the label width stay frozen (≡ the reference's static
+    extra-channel re-concat when in_dim > out_dim)."""
+    import dataclasses
+
+    import numpy as np
+
+    from pregen_pde_tpu.evalx.inference import ar_eval
+
+    @dataclasses.dataclass
+    class Cfg:
+        time_input: bool = False
+
+    class DS:
+        cfg = Cfg()
+
+        def __init__(self):
+            rng = np.random.default_rng(1)
+            self.x0 = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+            t = 0.6
+            self.t = np.full((4,), t, np.float32)
+            # model: pred = x[..., :2] + t_sub * aux; steps [1, 2] →
+            # fractions 1/3, 2/3 → total aux·t added (aux frozen)
+            self.lab = (self.x0[..., :2]
+                        + t * self.x0[..., 2:3]).astype(np.float32)
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return self.t[i], self.x0[i], self.lab[i]
+
+    def apply_fn(_vars, x, t):
+        return x[..., :2] + t[:, None, None, None] * x[..., 2:3]
+
+    res = ar_eval(apply_fn, {}, DS(), [1, 2], batch_size=2)
+    assert res["max_rel_%"] < 1e-3, res

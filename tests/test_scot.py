@@ -263,8 +263,14 @@ def test_rollout_pixel_mask_forcing_propagates():
     """AR rollout with pixel_mask: forced channels enter the feedback, so a
     downstream prediction differs from the unforced rollout even on channels
     that were never forced (reference feeds the FORCED prediction back,
-    `scOT/model.py:1372-1374` + `scOT/trainer.py:240-316`)."""
+    `scOT/model.py:1372-1374` + `scOT/trainer.py:240-316`). Must be
+    warning-free: the implicit scatter dtype cast is a JAX FutureWarning
+    slated to become an error."""
+    import warnings
+
     from pregen_pde_tpu.evalx.rollout import rollout_pattern
+
+    warnings.simplefilter("error", FutureWarning)
 
     model = ScOT(TINY)
     rng = np.random.default_rng(6)

@@ -1,32 +1,23 @@
 """The headline experiment: multi-difficulty data mixing (reference README
 claim: ~8.9× classical-solver compute saved at equal error by mixing cheap
-easy trajectories with a few hard ones).
+easy trajectories with a few hard ones, `README.md:41,75-79`).
 
-End-to-end protocol (reference `scOT/mixingexp.py` + `CNO_timeModule_CIN.py`
-mixing dataloaders), on this framework:
+This is the reference's ACTUAL headline configuration — **geometry
+difficulty** (`README.md:18-21`, `scOT/mixingexp.py:299-384,650-711`):
 
-1. generate a HARD dataset (multi-hole geometry, Re-sampled physics) and an
-   EASY dataset (no holes) with the masked-NS pipelines;
-2. for each α in the sweep: train on α·N hard + (1−α)·N easy with shared
-   normalization stats;
-3. evaluate every model on held-out hard AND easy test sets;
-4. report the α → (test_hard, test_easy) table. Generation cost per α follows
-   from the Re-dependent horizon schedule: hard trajectories integrate up to
-   27× longer, so low-α mixes are proportionally cheaper to generate.
+- EASY = flow past obstacle-free domain (`fpo_regular` — the reference's
+  no-hole Gaussians set), HARD = random multi-hole geometry
+  (`fpo_multi_hole` ≡ `Multiple_Hole/main.py`);
+- for each α: train on α·N hard + (1−α)·N easy with shared streaming
+  normalization stats (≡ `streaming_stats`, `mixingexp.py:275-296`);
+- evaluate every model on BOTH held-out test sets (hole and no-hole,
+  `mixingexp.py:650-711`);
+- models: CNO (the reference's primary mixing model here) — `--model
+  fno|cno|scot-T` selects the family.
 
-Run `--fast` for a minutes-scale smoke configuration.
-
-Measured on one v5e chip (physics-difficulty variant via the CLI: easy
-ν=1e-3 / hard ν=2e-5 spectral datasets + `mix-sweep`, FNO, 64 train
-trajectories — full numbers in PERF.md):
-
-    alpha 0.0 (all easy):  test-hard 16.5 %   test-easy  6.4 %  (median rel)
-    alpha 0.5 (mixed):     test-hard  9.9 %   test-easy  6.2 %
-    alpha 1.0 (all hard):  test-hard  8.5 %   test-easy 25.7 %
-
-i.e. the 50/50 mix recovers most of the all-hard accuracy on hard data at
-half the hard-trajectory generation cost while keeping the easy-domain
-accuracy that all-hard training loses — the reference's headline mechanism.
+Run `--fast` for a minutes-scale smoke configuration. The physics-difficulty
+variant (viscosity axis) remains available through the CLI `mix-sweep` on
+`ns_spectral` datasets. Full measured tables live in PERF.md.
 """
 
 from __future__ import annotations
@@ -39,23 +30,56 @@ import jax
 import numpy as np
 
 from pregen_pde_tpu.datagen.masked_ns import MaskedNSConfig, generate_masked_ns_batch
-from pregen_pde_tpu.models.fno import FNO2d
 from pregen_pde_tpu.training.datasets import (
     BatchLoader,
     TimePairConfig,
     make_mixed_datasets,
 )
+from pregen_pde_tpu.training.native_loader import make_batch_loader
 from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def _make_model(name, in_size, fast):
+    if name == "fno":
+        from pregen_pde_tpu.models.fno import FNO2d
+
+        return FNO2d(out_channels=3, modes=8 if fast else 12,
+                     width=16 if fast else 32, n_layers=2 if fast else 4)
+    if name == "cno":
+        from pregen_pde_tpu.models.cno import CNO
+
+        # the reference mixing CNO (`TrainCNO_time_L.py:46-72` scale, shrunk
+        # in --fast); in_size must divide by 2^n_layers
+        return CNO(in_size=in_size, out_dim=3,
+                   n_layers=2 if fast else 3,
+                   n_res=1 if fast else 4,
+                   n_res_neck=2 if fast else 6,
+                   channel_multiplier=8 if fast else 32)
+    if name.startswith("scot"):
+        from pregen_pde_tpu.models.scot import MODEL_SIZES, ScOT, ScOTConfig
+
+        size = name.split("-")[1].upper() if "-" in name else "T"
+        kw = dict(MODEL_SIZES[size])
+        if fast:
+            kw["embed_dim"] = 16
+        return ScOT(ScOTConfig(image_size=in_size, num_channels=7,
+                               num_out_channels=3, **kw))
+    raise SystemExit(f"unknown model {name}")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--model", default="cno", help="fno | cno | scot-T/S/B/L")
     ap.add_argument("--n", type=int, default=None, help="trajectories per difficulty")
-    ap.add_argument("--alphas", default="0.0,0.25,0.5,1.0")
+    ap.add_argument("--alphas", default="0.0,0.25,0.5,0.75,1.0")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=8)
     args = ap.parse_args()
 
+    from pregen_pde_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
     fast = args.fast
     n = args.n or (24 if fast else 256)
     epochs = args.epochs or (2 if fast else 100)
@@ -68,6 +92,7 @@ def main():
         cg_iters=60 if fast else 150,
     )
 
+    # geometry difficulty: same physics sampling, holes vs no holes
     t0 = time.time()
     hard = generate_masked_ns_batch(
         jax.random.key(0), MaskedNSConfig(pipeline="fpo_multi_hole", **gen_kw), n
@@ -75,10 +100,11 @@ def main():
     t_hard = time.time() - t0
     t0 = time.time()
     easy = generate_masked_ns_batch(
-        jax.random.key(1), MaskedNSConfig(pipeline="ldc_regular", **gen_kw), n
+        jax.random.key(1), MaskedNSConfig(pipeline="fpo_regular", **gen_kw), n
     )
     t_easy = time.time() - t0
-    print(json.dumps({"gen_hard_s": round(t_hard, 1), "gen_easy_s": round(t_easy, 1)}))
+    print(json.dumps({"gen_hard_s": round(t_hard, 1),
+                      "gen_easy_s": round(t_easy, 1)}), flush=True)
 
     t_steps = hard.shape[1] - 1
     cfg = TimePairConfig(
@@ -89,27 +115,28 @@ def main():
     results = {}
     for alpha in [float(a) for a in args.alphas.split(",")]:
         train, vh, ve, th, te = make_mixed_datasets(hard, easy, alpha, n_train, cfg)
-        model = FNO2d(out_channels=3, modes=8 if fast else 12,
-                      width=16 if fast else 32, n_layers=2 if fast else 4)
+        model = _make_model(args.model, res, fast)
         trainer = Trainer(model, TrainerConfig(
-            learning_rate=1e-3, epochs=epochs, batch_size=8,
+            learning_rate=1e-3 if args.model == "fno" else 5e-5,
+            epochs=epochs, batch_size=args.batch_size,
             early_stop_patience=None,
         ))
         trainer.fit(
-            BatchLoader(train, 8, seed=0),
-            val_loaders={"vh": BatchLoader(vh, 8, shuffle=False),
-                         "ve": BatchLoader(ve, 8, shuffle=False)},
+            make_batch_loader(train, args.batch_size, seed=0),
+            val_loaders={"vh": BatchLoader(vh, args.batch_size, shuffle=False),
+                         "ve": BatchLoader(ve, args.batch_size, shuffle=False)},
         )
         trainer.restore_best()
-        # generation cost proxy: hard trajectories cost horizon(Re) steps,
-        # easy the same schedule — difficulty cost ∝ α for the geometry axis
+        bs = args.batch_size
         results[alpha] = {
-            "test_hard": trainer.evaluate(BatchLoader(th, 8, shuffle=False)),
-            "test_easy": trainer.evaluate(BatchLoader(te, 8, shuffle=False)),
+            "test_hard": trainer.evaluate(BatchLoader(th, bs, shuffle=False)),
+            "test_easy": trainer.evaluate(BatchLoader(te, bs, shuffle=False)),
+            # generation-cost proxy: each α's dataset costs α·t_hard +
+            # (1−α)·t_easy of solver time (the 8.9× mechanism's x-axis)
             "gen_cost_s": round(alpha * t_hard + (1 - alpha) * t_easy, 1),
         }
-        print(json.dumps({"alpha": alpha, **results[alpha]}))
-    print(json.dumps(results))
+        print(json.dumps({"alpha": alpha, **results[alpha]}), flush=True)
+    print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":

@@ -5,8 +5,11 @@ script entry points: `TrainCNO_time_L.py`, `python -m scOT.train`,
     python -m pregen_pde_tpu generate   --workload ns_spectral --n 256 --out dir/
     python -m pregen_pde_tpu generate   --workload fpo_hole    --n 128 --out dir/
     python -m pregen_pde_tpu train      --model fno --data dir/results_batch_0.npy
+    python -m pregen_pde_tpu train      --model scot-B --dataset eul_kh --data-dir d/
     python -m pregen_pde_tpu mix-sweep  --hard hard.npy --easy easy.npy --alphas 0,0.25,1
     python -m pregen_pde_tpu evaluate   --model fno --ckpt ckpt/ --data d.npy
+    python -m pregen_pde_tpu evaluate   --model scot-B --dataset eul_kh.out \
+                                        --data-dir d/ --ckpt ckpt/ --ar-steps 2
     python -m pregen_pde_tpu preflight  --data d.npy
     python -m pregen_pde_tpu bench
 """
@@ -168,13 +171,16 @@ def _split_name_path(data):
     return None, data
 
 
-def _open_benchmark_split(names, data_dir, which, num_trajectories=None):
+def _open_benchmark_split(names, data_dir, which, num_trajectories=None,
+                          transitions=None):
     """Benchmark dataset(s) by name (comma list = multi-dataset pretraining
     mix, ≡ `CNO_timeModule_CIN.py:1076-1123` eul_ns_mix1)."""
     from pregen_pde_tpu.training.benchmark_datasets import get_dataset
     from pregen_pde_tpu.training.datasets import make_pretraining_mix
 
     kw = {}
+    if transitions is not None:
+        kw["transitions"] = transitions
     if which == "train" and num_trajectories is not None:
         kw["num_trajectories"] = num_trajectories
     try:
@@ -198,9 +204,10 @@ def _resolve_train_data(args, which_val="val"):
         if path is None:
             raise SystemExit("--dataset requires --data-dir")
         ntr = getattr(args, "num_trajectories", None)
+        tr = getattr(args, "transitions", None)
         train = _open_benchmark_split(name, path, "train",
-                                      num_trajectories=ntr)
-        val = _open_benchmark_split(name, path, which_val)
+                                      num_trajectories=ntr, transitions=tr)
+        val = _open_benchmark_split(name, path, which_val, transitions=tr)
         return train, val
     return None, None
 
@@ -360,7 +367,7 @@ def _cmd_train(args):
         "one": [1],
         "one2all": None,  # (0 → t) pairs (TimePairConfig's None semantics)
         "all": list(range(1, t_steps + 1)),
-    }[args.transitions]
+    }[args.transitions or "one"]
     cfg = TimePairConfig(
         max_num_time_steps=t_steps,
         allowed_transitions=allowed,
@@ -469,10 +476,12 @@ def _evaluate_ckpt(ckpt_dir, model_name, data, patterns_str, batch_size,
     return {"patterns": res, "accumulation": acc}
 
 
-def _direct_eval(model, params, dataset, batch_size):
+def _direct_eval(model, params, dataset, batch_size, label_description=None):
     """Direct (t1→t2 pair) test metrics on any time-pair-style dataset —
     ≡ the reference's primary post-train test, `trainer.predict` relative-L1
-    stats (`scOT/train.py:581-640`, metrics `:439-555`)."""
+    stats (`scOT/train.py:581-640`); ``label_description`` adds the
+    per-channel-group breakdown (`:439-555` per channel_slice_list),
+    streamed: only (B, groups) scalars leave the device per batch."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -480,13 +489,25 @@ def _direct_eval(model, params, dataset, batch_size):
     from pregen_pde_tpu.training.datasets import BatchLoader
     from pregen_pde_tpu.training.metrics import summarize_rel_errors
 
+    names, slices = [], []
+    if label_description:
+        from pregen_pde_tpu.training.metrics import parse_label_description
+
+        names, slices = parse_label_description(label_description)
+
     @jax.jit
     def step(inp, time, lab):
         pred = model.apply({"params": params}, inp, time).astype(jnp.float32)
-        axes = tuple(range(1, pred.ndim))
-        num = jnp.abs(pred - lab).sum(axes)
-        den = jnp.abs(lab).sum(axes) + 1e-10
-        return num / den * 100.0
+
+        def rel(pr, lb):
+            axes = tuple(range(1, pr.ndim))
+            return (jnp.abs(pr - lb).sum(axes)
+                    / (jnp.abs(lb).sum(axes) + 1e-10) * 100.0)
+
+        cols = [rel(pred, lab)] + [
+            rel(pred[..., sl], lab[..., sl]) for sl in slices
+        ]
+        return jnp.stack(cols, axis=-1)
 
     rel = []
     for batch in BatchLoader(dataset, batch_size, shuffle=False,
@@ -494,7 +515,13 @@ def _direct_eval(model, params, dataset, batch_size):
         rel.append(np.asarray(step(jnp.asarray(batch["input"]),
                                    jnp.asarray(batch["time"]),
                                    jnp.asarray(batch["label"]))))
-    return summarize_rel_errors(np.concatenate(rel))
+    rel = np.concatenate(rel)  # (N, 1 + n_groups)
+    if not names:
+        return summarize_rel_errors(rel[:, 0])
+    out = {"all": summarize_rel_errors(rel[:, 0])}
+    for i, name in enumerate(names):
+        out[name] = summarize_rel_errors(rel[:, i + 1])
+    return out
 
 
 def _cmd_evaluate(args):
@@ -520,7 +547,8 @@ def _cmd_evaluate(args):
             params = _restore_params(args.ckpt, model, inp0, sample_time=t0)
         except FileNotFoundError as e:
             raise SystemExit(str(e)) from None
-        res = {"direct": _direct_eval(model, params, test, args.batch_size)}
+        res = {"direct": _direct_eval(model, params, test, args.batch_size,
+                                      label_description=args.label_description)}
         if args.ar_steps is not None:
             # AR rollout test (≡ scOT/train.py:666-695 set_ar_steps(k)):
             # roll each test pair's horizon in k homogeneous sub-steps (or a
@@ -844,8 +872,9 @@ def main(argv=None):
                    help="conditional-norm time-embedding LR group (scOT "
                         "only; ≡ learning_rate_time_embedding)")
     # ≡ reference `TrainCNO_time_L.py:151-163`: one = adjacent single steps,
-    # one2all = (0 → t) pairs only, all = every jump size
-    t.add_argument("--transitions", default="one",
+    # one2all = (0 → t) pairs only, all = every jump size; default: "one"
+    # for contract npy, the loader's own default for benchmark datasets
+    t.add_argument("--transitions", default=None,
                    choices=["one", "one2all", "all"])
     t.add_argument("--ckpt", default=None)
     t.add_argument("--ar-steps", default=None,

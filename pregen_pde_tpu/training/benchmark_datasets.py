@@ -373,6 +373,7 @@ class BenchmarkTimeDataset:
         masked_input: Sequence[float] | None = None,
         resolution: int | None = None,
         just_velocities: bool = False,
+        transitions: str | None = None,
     ):
         spec = BENCHMARK_REGISTRY[name]
         self.spec = spec
@@ -396,10 +397,22 @@ class BenchmarkTimeDataset:
                     "incompressible-NS datasets (CNO_TimeLoaders.py:302-310)"
                 )
             self.masked_input = np.asarray(masked_input, np.float32)
+        # `transitions` = the reference experiment-config grammar
+        # (`TrainCNO_time_L.py:151-163` allowed_time_transitions, threaded
+        # into each loader via `load_utils`): one = adjacent single steps,
+        # one2all = (0 → t) pairs, all = every jump size. None keeps the
+        # one2all default.
+        allowed = None
+        if transitions is not None:
+            allowed = {
+                "one": (1,),
+                "one2all": None,
+                "all": tuple(range(1, spec.max_time + 1)),
+            }[transitions]
         self.cfg = cfg or TimePairConfig(
             max_num_time_steps=spec.max_time if spec.time_dependent else 1,
             time_step_size=1,
-            allowed_transitions=None,
+            allowed_transitions=allowed,
             n_val=spec.n_val,
             n_test=spec.n_test,
         )
@@ -849,12 +862,18 @@ def get_dataset(name, data_path: str, which: str = "train", **kw):
         from pregen_pde_tpu.training.datasets import TimePairDataset
 
         kw.pop("tracer", None)
+        tr = kw.pop("transitions", None)
         data = np.load(data_path, mmap_mode="r")
         cfg = kw.pop("cfg", None)
         if cfg is None and out_mode:  # clamp to the file's actual frames
             cfg = out_cfg(data.shape[1] - 1, 2, 2)
+        t_steps = data.shape[1] - 1
         cfg = cfg or TimePairConfig(
-            max_num_time_steps=data.shape[1] - 1, allowed_transitions=None,
+            max_num_time_steps=t_steps,
+            allowed_transitions={
+                None: None, "one": (1,), "one2all": None,
+                "all": tuple(range(1, t_steps + 1)),
+            }[tr],
         )
         return TimePairDataset(np.asarray(data), cfg, which, **kw)
     if base in BENCHMARK_REGISTRY:

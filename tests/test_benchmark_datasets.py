@@ -545,3 +545,21 @@ def test_ns_custom_out_clamps_to_file_frames(tmp_path):
     assert max(t2s) <= 8, t2s  # never indexes past frame 8
     for i in range(len(ds)):
         ds[i]  # no IndexError
+
+
+def test_transitions_grammar_on_benchmark_loader(tmp_path):
+    """The reference experiment-config `allowed_time_transitions` grammar
+    (`TrainCNO_time_L.py:151-163`, threaded into every loader via
+    `load_utils`) reshapes the (t1, t2) pair table: one = 20 adjacent pairs,
+    one2all = 21 (0→t) pairs, all = every jump."""
+    from pregen_pde_tpu.training.benchmark_datasets import get_dataset
+
+    _make_h5_sample_fixture(tmp_path, "gauss.nc", n=285, t=21, c=2, res=8)
+    one = get_dataset("ns_gauss", tmp_path, "train", transitions="one")
+    assert one.multiplier == 20
+    assert all(t2 - t1 == 1 for t1, t2 in one.time_indices)
+    o2a = get_dataset("ns_gauss", tmp_path, "train", transitions="one2all")
+    assert o2a.multiplier == 21
+    assert all(t1 == 0 for t1, _ in o2a.time_indices)
+    alln = get_dataset("ns_gauss", tmp_path, "train", transitions="all")
+    assert alln.multiplier == 21 * 22 // 2 - 21  # all pairs minus (t, t)

@@ -110,6 +110,17 @@ def test_train_cno_on_synthetic_gauss(ns_dir, tmp_path, capsys, monkeypatch):
     res = _last_json(capsys)
     assert np.isfinite(res["best_mean_val_rel_%"])
 
+    # per-channel-group breakdown (≡ scOT compute_metrics per
+    # channel_slice_list, scOT/train.py:439-555)
+    cli.main([
+        "evaluate", "--model", "cno", "--data", f"ns_gauss:{ns_dir}",
+        "--ckpt", ckpt, "--batch-size", "8",
+        "--label-description", "[u],[v]",
+    ])
+    res = _last_json(capsys)
+    assert np.isfinite(res["direct"]["all"]["median_rel_%"])
+    assert "u" in res["direct"] and "v" in res["direct"]
+
 
 def test_train_pretraining_mix(ns_dir, capsys):
     """Comma-list --dataset = the multi-dataset pretraining mixture

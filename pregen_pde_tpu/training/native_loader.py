@@ -152,11 +152,61 @@ class NativeBatchLoader:
 
 
 def make_batch_loader(dataset, batch_size: int, **kw):
-    """NativeBatchLoader when the toolchain + dataset layout allow it,
-    else the pure-Python BatchLoader."""
+    """NativeBatchLoader when the toolchain + dataset layout allow it; for
+    other dataset types (the file-backed benchmark loaders) a
+    thread-prefetched BatchLoader; plain BatchLoader as the last resort."""
     try:
         if native.available():
             return NativeBatchLoader(dataset, batch_size, **kw)
     except Exception:
         pass
+    parts = dataset.parts if isinstance(dataset, ConcatDataset) else [dataset]
+    if not all(isinstance(p, TimePairDataset) for p in parts):
+        # file-backed loaders: overlap container reads with device steps
+        return PrefetchLoader(BatchLoader(dataset, batch_size, **kw))
     return BatchLoader(dataset, batch_size, **kw)
+
+
+class PrefetchLoader:
+    """Background-thread batch prefetch around ANY batch loader.
+
+    The benchmark datasets (`training/benchmark_datasets.py`) read lazily
+    from HDF5/netCDF containers per sample; h5py/numpy I/O releases the GIL,
+    so a single worker thread assembling batch k+1 while batch k feeds the
+    TPU recovers the reference's multi-worker DataLoader overlap
+    (`CNO_timeModule_CIN.py:1016-1146` num_workers=6) without processes.
+    ``depth`` bounds the queue (prefetched batches hold host memory).
+    Exceptions in the worker re-raise in the consumer."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def work():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as e:  # pragma: no cover - propagated below
+                q.put(e)
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()

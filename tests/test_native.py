@@ -242,3 +242,61 @@ def test_native_gather_rejects_oversized_stats():
         g.gather(idx, idx, idx + 1, np.ones(2, np.float32),
                  np.zeros(10, np.float32), np.ones(10, np.float32))
     g.close()
+
+
+def test_prefetch_loader_matches_direct_iteration():
+    """PrefetchLoader yields the same batches in the same order as the
+    wrapped loader and re-raises worker exceptions."""
+    import numpy as np
+    import pytest
+
+    from pregen_pde_tpu.training.datasets import BatchLoader, TimePairConfig, TimePairDataset
+    from pregen_pde_tpu.training.native_loader import PrefetchLoader
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(8, 4, 6, 6, 6)).astype(np.float32)
+    cfg = TimePairConfig(max_num_time_steps=3, allowed_transitions=[1],
+                         n_val=2, n_test=2)
+    ds = TimePairDataset(data, cfg, "train")
+    direct = list(BatchLoader(ds, 4, shuffle=True, seed=7))
+    fetched = list(PrefetchLoader(BatchLoader(ds, 4, shuffle=True, seed=7)))
+    assert len(direct) == len(fetched) == len(
+        PrefetchLoader(BatchLoader(ds, 4, shuffle=True, seed=7)))
+    for a, b in zip(direct, fetched):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    class Boom:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            raise RuntimeError("boom")
+            yield  # pragma: no cover
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchLoader(Boom()))
+
+
+def test_make_batch_loader_prefetches_non_timepair_datasets():
+    """Benchmark-style (file-backed) datasets get the threaded prefetch
+    wrapper from make_batch_loader."""
+    import numpy as np
+
+    from pregen_pde_tpu.training.native_loader import (
+        PrefetchLoader,
+        make_batch_loader,
+    )
+
+    class MiniDS:  # duck-typed sample dataset (not a TimePairDataset)
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return (np.float32(0.5), np.zeros((4, 4, 2), np.float32),
+                    np.zeros((4, 4, 1), np.float32))
+
+    loader = make_batch_loader(MiniDS(), 2, shuffle=False)
+    assert isinstance(loader, PrefetchLoader)
+    batches = list(loader)
+    assert len(batches) == 3 and batches[0]["input"].shape == (2, 4, 4, 2)

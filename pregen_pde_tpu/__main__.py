@@ -287,6 +287,21 @@ def _parse_ar_steps(spec: str, t_steps: int):
     return homogeneous_steps(t_steps, int(spec))
 
 
+def _maybe_resume(args, trainer, loader):
+    """`--resume`: restore the newest orbax checkpoint from --ckpt before
+    training continues (≡ --resume_training / resume_from_checkpoint,
+    `scOT/train.py:184,566`; params-only, epochs restart — the reference's
+    load-best semantics)."""
+    if not getattr(args, "resume", False):
+        return
+    if not args.ckpt:
+        raise SystemExit("--resume requires --ckpt")
+    trainer.init_state(next(iter(loader)), steps_per_epoch=len(loader))
+    step = trainer.restore_latest()
+    print(json.dumps({"resumed_from": args.ckpt, "ckpt_step": step}),
+          flush=True)
+
+
 def _cmd_train(args):
     import numpy as np
     from pregen_pde_tpu.training.datasets import (
@@ -310,8 +325,10 @@ def _cmd_train(args):
                 "AR evaluation on benchmark datasets: `evaluate`")
         model = _make_model(args.model, *_model_dims(train_ds))
         trainer = _build_trainer(args, model, ckpt=args.ckpt)
+        loader = make_batch_loader(train_ds, args.batch_size, seed=0)
+        _maybe_resume(args, trainer, loader)
         result = trainer.fit(
-            make_batch_loader(train_ds, args.batch_size, seed=0),
+            loader,
             val_loaders={"val": BatchLoader(val_ds, args.batch_size,
                                             shuffle=False)},
             log_fn=lambda rec: print(json.dumps(rec), flush=True),
@@ -380,8 +397,10 @@ def _cmd_train(args):
                         in_channels=train.in_channels,
                         out_channels=train.out_channels)
     trainer = _build_trainer(args, model, ckpt=args.ckpt)
+    loader = make_batch_loader(train, args.batch_size, seed=0)
+    _maybe_resume(args, trainer, loader)
     result = trainer.fit(
-        make_batch_loader(train, args.batch_size, seed=0),
+        loader,
         val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},
         log_fn=lambda rec: print(json.dumps(rec), flush=True),
     )
@@ -877,6 +896,9 @@ def main(argv=None):
     t.add_argument("--transitions", default=None,
                    choices=["one", "one2all", "all"])
     t.add_argument("--ckpt", default=None)
+    t.add_argument("--resume", action="store_true",
+                   help="restore the newest checkpoint in --ckpt before "
+                        "training (≡ --resume_training, scOT/train.py:184)")
     t.add_argument("--ar-steps", default=None,
                    help="AR-rollout training (≡ scOT set_ar_steps): int n = "
                         "n homogeneous steps, comma list = heterogeneous")

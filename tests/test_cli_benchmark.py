@@ -217,3 +217,25 @@ def test_tier_decay_semantics():
     assert float(jnp.abs(updates["emb"]["bias"]).sum()) > 0
     # time_embedding tier: no decay at all
     assert float(jnp.abs(updates["time"]["kernel"]).sum()) == 0.0
+
+
+def test_train_resume_restores_checkpoint(tmp_path, capsys):
+    """`train --resume` restores the newest orbax checkpoint before
+    continuing (≡ --resume_training, scOT/train.py:184,566)."""
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(10, 4, 16, 16, 6)).astype(np.float32)
+    np.save(tmp_path / "d.npy", data)
+    ckpt = str(tmp_path / "ckpt")
+    cli.main(["train", "--model", "fno", "--data", str(tmp_path / "d.npy"),
+              "--epochs", "1", "--batch-size", "4", "--ckpt", ckpt])
+    capsys.readouterr()
+    cli.main(["train", "--model", "fno", "--data", str(tmp_path / "d.npy"),
+              "--epochs", "1", "--batch-size", "4", "--ckpt", ckpt,
+              "--resume"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[0])
+    assert rec["resumed_from"] == ckpt and rec["ckpt_step"] is not None
+
+    with pytest.raises(SystemExit, match="--resume requires --ckpt"):
+        cli.main(["train", "--model", "fno", "--data",
+                  str(tmp_path / "d.npy"), "--epochs", "1", "--resume"])

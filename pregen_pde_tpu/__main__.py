@@ -757,15 +757,30 @@ def _test_dataset(data, model_name):
     return _make_model(model_name, data.shape[2]), test
 
 
+def _test_dataset_from_args(args):
+    """(model, test dataset) from --dataset/--data-dir, `--data name:path`,
+    or a contract npy --data (shared by save-samples / resolutions)."""
+    import numpy as np
+
+    if args.data is None and getattr(args, "dataset", None) is None:
+        raise SystemExit("need --data or --dataset/--data-dir")
+    name, path = (args.dataset, args.data_dir) if getattr(
+        args, "dataset", None) else _split_name_path(args.data)
+    if name is not None:
+        if path is None:
+            raise SystemExit("--dataset requires --data-dir")
+        test = _open_benchmark_split(name, path, "test")
+        return _make_model(args.model, *_model_dims(test)), test
+    data = np.asarray(_load_data(args.data))
+    return _test_dataset(data, args.model)
+
+
 def _cmd_save_samples(args):
     """Dump (input, prediction, label) samples to NPZ (≡ `scOT/inference.py`
     save_samples) and optionally render a prediction grid PNG."""
-    import numpy as np
-
     from pregen_pde_tpu.evalx.inference import save_samples
 
-    data = np.asarray(_load_data(args.data))
-    model, test = _test_dataset(data, args.model)
+    model, test = _test_dataset_from_args(args)
     _, inp0, _ = test[0]
     try:
         params = _restore_params(args.ckpt, model, inp0)
@@ -785,12 +800,9 @@ def _cmd_resolutions(args):
     """Resolution-transfer evaluation (≡ `scOT/inference.py`
     eval_resolutions): FFT-resample inputs to each resolution, predict,
     FFT-resample back, measure error."""
-    import numpy as np
-
     from pregen_pde_tpu.evalx.inference import resolution_eval
 
-    data = np.asarray(_load_data(args.data))
-    model, test = _test_dataset(data, args.model)
+    model, test = _test_dataset_from_args(args)
     _, inp0, _ = test[0]
     try:
         params = _restore_params(args.ckpt, model, inp0)
@@ -951,7 +963,10 @@ def main(argv=None):
 
     ss = sub.add_parser("save-samples")
     ss.add_argument("--model", default="fno")
-    ss.add_argument("--data", required=True)
+    ss.add_argument("--data", default=None)
+    ss.add_argument("--dataset", default=None,
+                    help="benchmark dataset name (test split)")
+    ss.add_argument("--data-dir", default=None)
     ss.add_argument("--ckpt", required=True)
     ss.add_argument("--out", required=True, help="output .npz path")
     ss.add_argument("--n-samples", type=int, default=8)
@@ -961,7 +976,10 @@ def main(argv=None):
 
     rz = sub.add_parser("resolutions")
     rz.add_argument("--model", default="fno")
-    rz.add_argument("--data", required=True)
+    rz.add_argument("--data", default=None)
+    rz.add_argument("--dataset", default=None,
+                    help="benchmark dataset name (test split)")
+    rz.add_argument("--data-dir", default=None)
     rz.add_argument("--ckpt", required=True)
     rz.add_argument("--resolutions", default="64,128,256")
     rz.add_argument("--batch-size", type=int, default=16)

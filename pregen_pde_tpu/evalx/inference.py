@@ -74,6 +74,16 @@ def accumulation_error(
     ]
 
 
+def _sample_batches(dataset, batch_size: int, limit: int | None = None):
+    """(time, input, label) numpy batches over any sample-style dataset —
+    the generic path for file-backed benchmark loaders (no `.data` array)."""
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    for s in range(0, n, batch_size):
+        items = [dataset[i] for i in range(s, min(s + batch_size, n))]
+        t, x, y = zip(*(it[:3] for it in items))
+        yield np.stack(t), np.stack(x), np.stack(y)
+
+
 def resolution_eval(
     apply_fn: Callable,
     params,
@@ -83,9 +93,25 @@ def resolution_eval(
     out_channels: int = 3,
 ) -> dict[int, dict]:
     """Evaluate the t=0 → t=1 prediction with inputs/labels FFT-resampled to
-    each resolution (resolution-transfer study, ≡ `eval_resolutions`)."""
+    each resolution (resolution-transfer study, ≡ `eval_resolutions`).
+    Datasets without a raw `.data` array (benchmark loaders) evaluate their
+    own (t1, t2) sample pairs instead of the t=0 frame."""
     fwd = jax.jit(apply_fn)
     results = {}
+    if not hasattr(dataset, "data"):
+        for res in resolutions:
+            preds, labs = [], []
+            for t, x, y in _sample_batches(dataset, batch_size):
+                xr = fft_resize(jnp.asarray(x), res)
+                pred = fwd({"params": params}, xr, jnp.asarray(t))
+                preds.append(np.asarray(pred))
+                labs.append(np.asarray(fft_resize(jnp.asarray(y), res)))
+            rel = relative_lp_error(np.concatenate(preds), np.concatenate(labs))
+            results[res] = {
+                "median_rel_%": float(np.median(rel)),
+                "mean_rel_%": float(np.mean(rel)),
+            }
+        return results
     n, start = dataset.n_traj, dataset.start
     ts = dataset.cfg.time_step_size
     for res in resolutions:
@@ -117,8 +143,16 @@ def save_samples(
     n_samples: int = 8,
     out_channels: int = 3,
 ):
-    """Dump (input, prediction, label) for the first n_samples test items."""
+    """Dump (input, prediction, label) for the first n_samples test items.
+    Sample-style datasets without `.data` (benchmark loaders) dump their own
+    (t1, t2) pairs."""
     fwd = jax.jit(apply_fn)
+    if not hasattr(dataset, "data"):
+        t, x, y = next(_sample_batches(dataset, n_samples, limit=n_samples))
+        pred = np.asarray(fwd({"params": params}, jnp.asarray(x),
+                              jnp.asarray(t)))
+        np.savez(path, input=x, prediction=pred, label=y)
+        return path
     idx = np.arange(dataset.start, dataset.start + min(n_samples, dataset.n_traj))
     x = jnp.asarray(_prep_inputs(dataset, idx, out_channels))
     ts = dataset.cfg.time_step_size

@@ -239,3 +239,30 @@ def test_train_resume_restores_checkpoint(tmp_path, capsys):
     with pytest.raises(SystemExit, match="--resume requires --ckpt"):
         cli.main(["train", "--model", "fno", "--data",
                   str(tmp_path / "d.npy"), "--epochs", "1", "--resume"])
+
+
+def test_resolutions_and_save_samples_on_benchmark(ns_dir, tmp_path, capsys,
+                                                   monkeypatch):
+    """resolutions / save-samples work on benchmark datasets (sample-based
+    path: no raw `.data` array; ≡ `scOT/inference.py` eval_resolutions /
+    save_samples on Poseidon datasets)."""
+    _shrink_splits(monkeypatch, "ns_gauss")
+    ckpt = str(tmp_path / "ckpt")
+    cli.main(["train", "--model", "fno", "--data", f"ns_gauss:{ns_dir}",
+              "--num-trajectories", "6", "--epochs", "1",
+              "--batch-size", "8", "--ckpt", ckpt])
+    capsys.readouterr()
+    cli.main(["resolutions", "--model", "fno", "--dataset", "ns_gauss",
+              "--data-dir", str(ns_dir), "--ckpt", ckpt,
+              "--resolutions", "8,16", "--batch-size", "8"])
+    res = _last_json(capsys)
+    assert set(res) == {"8", "16"}
+    assert np.isfinite(res["16"]["median_rel_%"])
+
+    out = str(tmp_path / "samples.npz")
+    cli.main(["save-samples", "--model", "fno", "--dataset", "ns_gauss",
+              "--data-dir", str(ns_dir), "--ckpt", ckpt, "--out", out,
+              "--n-samples", "4"])
+    z = np.load(out)
+    assert z["prediction"].shape == (4, 16, 16, 2)
+    assert z["input"].shape[-1] == 3  # 2 channels + time

@@ -690,16 +690,27 @@ def _cmd_finetune(args):
     from pregen_pde_tpu.training.native_loader import make_batch_loader
     from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
 
-    data = np.asarray(_load_data(args.data))
-    t_steps = data.shape[1] - 1
-    cfg = TimePairConfig(
-        max_num_time_steps=t_steps, allowed_transitions=[1],
-        n_val=max(2, data.shape[0] // 10), n_test=max(2, data.shape[0] // 10),
-    )
-    train = TimePairDataset(data, cfg, "train")
-    val = TimePairDataset(data, cfg, "val", mean=train.mean, std=train.std)
+    if args.data is None and args.dataset is None:
+        raise SystemExit("finetune needs --data or --dataset/--data-dir")
+    train, val = _resolve_train_data(args)
+    if train is None:  # contract-npy target task
+        data = np.asarray(_load_data(args.data))
+        t_steps = data.shape[1] - 1
+        cfg = TimePairConfig(
+            max_num_time_steps=t_steps, allowed_transitions=[1],
+            n_val=max(2, data.shape[0] // 10),
+            n_test=max(2, data.shape[0] // 10),
+        )
+        train = TimePairDataset(data, cfg, "train")
+        val = TimePairDataset(data, cfg, "val", mean=train.mean, std=train.std)
 
-    base = _make_model(args.model, data.shape[2])
+    # the pretrained base keeps ITS OWN geometry (--base-in-size); the
+    # adapters bridge the target task's channel counts (the reference
+    # fine-tunes its FM onto the benchmark datasets this way,
+    # `CNO_FineTune.py:127-152` → `load_utils`)
+    base = _make_model(args.model, args.base_in_size,
+                       in_channels=args.base_in_channels,
+                       out_channels=args.base_out_channels)
     # restore the pretrained base on ITS OWN input signature
     base_inp = np.zeros((args.base_in_size, args.base_in_size,
                          args.base_in_channels), np.float32)
@@ -950,11 +961,21 @@ def main(argv=None):
                     help="base (pretrained) model family")
     ft.add_argument("--pretrained", required=True,
                     help="orbax checkpoint dir of the pretrained base")
-    ft.add_argument("--data", required=True)
+    ft.add_argument("--data", default=None,
+                    help="contract .npy path or '<benchmark-name>:<path>'")
+    ft.add_argument("--dataset", default=None,
+                    help="benchmark dataset name(s), comma list = "
+                         "pretraining mix (needs --data-dir)")
+    ft.add_argument("--data-dir", default=None,
+                    help="root directory holding the benchmark files")
+    ft.add_argument("--num-trajectories", type=int, default=None,
+                    help="cap the train split (reference -1/-2/-8 grammar)")
     ft.add_argument("--base-in-channels", type=int, default=7,
                     help="input channels the pretrained base expects")
     ft.add_argument("--base-in-size", type=int, default=128,
                     help="grid size the pretrained base was built for")
+    ft.add_argument("--base-out-channels", type=int, default=3,
+                    help="output channels the pretrained base produces")
     ft.add_argument("--epochs", type=int, default=10)
     ft.add_argument("--batch-size", type=int, default=16)
     ft.add_argument("--ckpt", default=None)

@@ -241,6 +241,35 @@ def test_train_resume_restores_checkpoint(tmp_path, capsys):
                   str(tmp_path / "d.npy"), "--epochs", "1", "--resume"])
 
 
+def test_finetune_on_benchmark_dataset(ns_dir, kh_dir, tmp_path, capsys,
+                                       monkeypatch):
+    """`finetune` targets a benchmark dataset by name — the reference
+    fine-tunes its pretrained FM directly onto benchmark tasks
+    (`CNO_FineTune.py:127-152` → load_utils; `fine_tune_lift.py`). Base
+    pretrained on ns_gauss (3-in/2-out, res 16); 1×1 adapters bridge to
+    Kelvin-Helmholtz (5-in/4-out, res 32)."""
+    _shrink_splits(monkeypatch, "ns_gauss", "eul_kh")
+    ckpt = str(tmp_path / "ckpt")
+    cli.main(["train", "--model", "fno", "--data", f"ns_gauss:{ns_dir}",
+              "--num-trajectories", "6", "--epochs", "1",
+              "--batch-size", "8", "--ckpt", ckpt])
+    capsys.readouterr()
+    cli.main(["finetune", "--model", "fno", "--pretrained", ckpt,
+              "--dataset", "eul_kh", "--data-dir", str(kh_dir),
+              "--num-trajectories", "4",
+              "--base-in-channels", "3", "--base-in-size", "16",
+              "--base-out-channels", "2",
+              "--epochs", "1", "--batch-size", "4"])
+    res = _last_json(capsys)
+    assert np.isfinite(res["best_mean_val_rel_%"])
+
+
+def test_finetune_requires_some_data(tmp_path):
+    with pytest.raises(SystemExit, match="--data or --dataset"):
+        cli.main(["finetune", "--model", "fno",
+                  "--pretrained", str(tmp_path)])
+
+
 def test_resolutions_and_save_samples_on_benchmark(ns_dir, tmp_path, capsys,
                                                    monkeypatch):
     """resolutions / save-samples work on benchmark datasets (sample-based

@@ -14,7 +14,9 @@ Prints ONE JSON line:
    "n_snapshots": 50, "batch": B}
 
 Usage: python examples/measure_tier_error.py [batch]
-(CPU fallback measures the packed XLA stepper only.)
+(On CPU the `high`/`exact` tiers run through the Pallas interpreter with
+faithful arithmetic — real bf16-split operands, f32 accumulation — so their
+errors are a valid measurement; `fast` needs the chip, see the tier list.)
 """
 
 from __future__ import annotations
@@ -105,10 +107,19 @@ def main():
     ref_norm = np.linalg.norm(ref, axis=(2, 3))  # (B, T+1)
 
     on_tpu = jax.default_backend() != "cpu"
+    # On CPU the Pallas kernels run through the interpreter with REAL bf16
+    # arithmetic for the `high` tier (its inputs/matrices are explicitly
+    # bf16-split, so CPU dots see the same bf16-rounded operands and f32
+    # accumulation the MXU does — only accumulation ORDER differs) and
+    # f32-exact arithmetic for `exact` (≈ HIGHEST's 6-pass result). The
+    # `fast` tier is only meaningful ON CHIP: its default-precision f32
+    # dots are lowered to one bf16 MXU pass by Mosaic but stay full-f32 on
+    # CPU, so a CPU run would spuriously report near-exact error.
     tiers = (
         ["cn_ab2_pallas", "cn_ab2_pallas_high", "cn_ab2_pallas_exact",
          "cn_ab2_packed"]
-        if on_tpu else ["cn_ab2_packed"]
+        if on_tpu else ["cn_ab2_pallas_high", "cn_ab2_pallas_exact",
+                        "cn_ab2_packed"]
     )
     out = {}
     for tier in tiers:
@@ -129,7 +140,9 @@ def main():
                                 for k, v in out.items()},
                       "per_snapshot": {k: v["per_snapshot"]
                                        for k, v in out.items()},
-                      "n_snapshots": cfg.n_snapshots, "batch": batch}),
+                      "n_snapshots": cfg.n_snapshots, "batch": batch,
+                      "backend": jax.default_backend(),
+                      "emulated": not on_tpu}),
           flush=True)
 
 

@@ -71,7 +71,10 @@ def _probe_tpu() -> bool:
         )
     except subprocess.TimeoutExpired:
         return False
-    return r.returncode == 0 and "BACKEND=axon" in r.stdout
+    # The tunnel has registered under different platform names across
+    # server-side updates ("axon", then "tpu") — accept any non-cpu backend.
+    return (r.returncode == 0 and "BACKEND=" in r.stdout
+            and "BACKEND=cpu" not in r.stdout)
 
 
 def _probe_with_retries() -> bool:

@@ -52,9 +52,16 @@ RUN_TIMEOUT = int(os.environ.get("BENCH_RUN_TIMEOUT", "3600"))
 CPU_RUN_TIMEOUT = int(os.environ.get("BENCH_CPU_RUN_TIMEOUT", "1800"))
 
 _PROBE_SRC = (
-    "import jax, jax.numpy as jnp;"
-    "x = jnp.ones((128, 128));"
-    "print('BACKEND=' + jax.default_backend(), float(x.sum()))"
+    # Un-pin jax_platforms first: the tunnel's plugin has registered under
+    # different names across server-side updates ("axon"/"tpu"), and a stale
+    # sitecustomize pin makes every dispatch raise. Auto-choose instead.
+    "import jax, jax.numpy as jnp\n"
+    "try:\n"
+    "    jax.config.update('jax_platforms', '')\n"
+    "except Exception:\n"
+    "    pass\n"
+    "x = jnp.ones((128, 128))\n"
+    "print('BACKEND=' + jax.default_backend(), float(x.sum()))\n"
 )
 
 
@@ -170,6 +177,10 @@ def worker(platform: str) -> None:
 
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from pregen_pde_tpu.utils.misc import use_best_backend
+
+        use_best_backend()
     from pregen_pde_tpu.utils.compcache import enable_persistent_cache
 
     enable_persistent_cache()

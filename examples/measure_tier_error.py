@@ -75,6 +75,10 @@ def oracle_snapshots(w0, nu, dt, inner_steps, n_snapshots, forcing=None,
 def main():
     import jax
 
+    from pregen_pde_tpu.utils.misc import use_best_backend
+
+    use_best_backend()  # tolerate the tunnel's shifting platform name
+
     from pregen_pde_tpu.core.config import NSVorticityConfig
     from pregen_pde_tpu.fields.grf import grf_2d
     from pregen_pde_tpu.solvers.spectral_ns import (

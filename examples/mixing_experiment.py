@@ -78,7 +78,9 @@ def main():
     args = ap.parse_args()
 
     from pregen_pde_tpu.utils.compcache import enable_persistent_cache
+    from pregen_pde_tpu.utils.misc import use_best_backend
 
+    use_best_backend()  # tolerate the tunnel's shifting platform name
     enable_persistent_cache()
     fast = args.fast
     n = args.n or (24 if fast else 256)

@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--models", default="cno,scot_t,scot_b,fno,ffno")
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
+    from pregen_pde_tpu.utils.misc import use_best_backend
+
+    use_best_backend()  # tolerate the tunnel's shifting platform name
     want = args.models.split(",")
     dtype = jnp.bfloat16 if args.bf16 else None
 

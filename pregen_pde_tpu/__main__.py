@@ -1060,7 +1060,11 @@ def main(argv=None):
     # cost ~5 min of Mosaic compile per shape — pay it once per machine, not
     # per process (PERF.md compile-time table)
     from pregen_pde_tpu.utils.compcache import enable_persistent_cache
+    from pregen_pde_tpu.utils.misc import use_best_backend
 
+    # tolerate the tunnel's shifting PJRT platform name ("axon"/"tpu" across
+    # server-side updates); respects an explicit cpu pin (tests)
+    use_best_backend()
     enable_persistent_cache()
     args.fn(args)
 

@@ -238,6 +238,17 @@ def generate_ns_batch(
          cfg.resolution, 6),
         np.dtype(gen_cfg.storage_dtype),
     )
+    # Depth-2 solve/fetch pipeline: dispatch bucket k+1's solve (async) BEFORE
+    # blocking on bucket k's device→host fetch, so the device computes the
+    # next bucket while the previous one streams out (DMA overlaps compute on
+    # TPU; through the dev tunnel the fetch dominates and hides the solve
+    # entirely). At most two buckets are device-resident at once.
+    pending: tuple | None = None  # (idx_raw, n_real, device_array)
+
+    def _drain(p):
+        i_raw, n_real, res = p
+        out[i_raw] = np.asarray(jax.device_get(res))[:n_real]
+
     for horizon in np.unique(end_t_np):
         idx_raw = np.nonzero(end_t_np == horizon)[0]
         idx, n_real = _pad_pow2(idx_raw)
@@ -260,7 +271,16 @@ def generate_ns_batch(
             gen_cfg.grf_sigma,
             method=method, mesh=mesh,
         )
-        out[idx_raw] = np.asarray(jax.device_get(_to_storage(res, gen_cfg)))[:n_real]
+        res = _to_storage(res, gen_cfg)
+        try:  # start the host copy eagerly where the backend supports it
+            res.copy_to_host_async()
+        except Exception:
+            pass
+        if pending is not None:
+            _drain(pending)
+        pending = (idx_raw, n_real, res)
+    if pending is not None:
+        _drain(pending)
     return out
 
 

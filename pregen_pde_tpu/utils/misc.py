@@ -24,6 +24,49 @@ import jax
 import numpy as np
 
 
+def use_best_backend(retries: int = 3, backoff_s: float = 20.0) -> str:
+    """Un-pin `jax_platforms` so JAX auto-chooses the best registered backend.
+
+    The dev environment reaches the TPU through a tunnel whose PJRT plugin
+    has registered under DIFFERENT platform names across server-side updates
+    ("axon", then "tpu", then "axon" again). The interpreter's sitecustomize
+    pins `jax_platforms` to a specific name at import time; when the pinned
+    name goes stale every dispatch raises "Backend 'axon' is not in the list
+    of known backends". Clearing the pin lets JAX pick whatever accelerator
+    plugin actually registered. The tunnel's init is also transiently flaky
+    (a lingering previous client can make it fail), and under an un-pinned
+    config a failed accelerator init SILENTLY selects CPU — so when the
+    first choice lands on CPU we clear the backend cache and retry with
+    backoff before accepting the CPU fallback. Returns the chosen backend
+    name. Call before the first dispatch.
+
+    An explicit CPU pin (`jax_platforms == "cpu"`, e.g. tests/conftest.py or
+    `bench.py --worker cpu`) is respected and left alone.
+    """
+    import time
+
+    if jax.config.jax_platforms == "cpu":
+        return "cpu"
+    from jax.extend import backend as _jexb
+
+    for attempt in range(max(1, retries)):
+        try:
+            jax.config.update("jax_platforms", "")
+            chosen = jax.default_backend()
+        except Exception:
+            chosen = "cpu"
+        if chosen != "cpu":
+            return chosen
+        if attempt < retries - 1:
+            try:  # drop the cached failed-init state and re-probe
+                _jexb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(backoff_s * (attempt + 1))
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu"
+
+
 def assert_shape(x, ref_shape: Sequence[int | None]) -> None:
     """Raise AssertionError unless x.shape matches (None = any)."""
     if len(x.shape) != len(ref_shape):

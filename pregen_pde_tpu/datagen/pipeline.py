@@ -23,6 +23,7 @@ step count.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -33,6 +34,7 @@ from pregen_pde_tpu.core.config import NSVorticityConfig
 from pregen_pde_tpu.fields.geometry import no_hole_mask, sdf_from_mask
 from pregen_pde_tpu.fields.grf import grf_2d
 from pregen_pde_tpu.parallel.meshes import batch_sharding, make_mesh
+from pregen_pde_tpu.utils.misc import is_tunnel_backend
 from pregen_pde_tpu.solvers import schedules
 from pregen_pde_tpu.solvers.spectral_ns import NSVorticitySolver
 
@@ -241,8 +243,13 @@ def generate_ns_batch(
     # Depth-2 solve/fetch pipeline: dispatch bucket k+1's solve (async) BEFORE
     # blocking on bucket k's device→host fetch, so the device computes the
     # next bucket while the previous one streams out (DMA overlaps compute on
-    # TPU; through the dev tunnel the fetch dominates and hides the solve
-    # entirely). At most two buckets are device-resident at once.
+    # real TPU hosts). At most two buckets are device-resident at once.
+    # The dev tunnel's worker CRASHES on a host fetch issued while another
+    # program executes (reproduced 2026-08-18, fresh workers, with and
+    # without copy_to_host_async) — so the overlap defaults OFF there and ON
+    # everywhere else; PREGEN_PDE_OVERLAP_FETCH=0/1 forces either way.
+    _ov = os.environ.get("PREGEN_PDE_OVERLAP_FETCH", "")
+    overlap = (_ov == "1") if _ov else not is_tunnel_backend()
     pending: tuple | None = None  # (idx_raw, n_real, device_array)
 
     def _drain(p):
@@ -272,13 +279,16 @@ def generate_ns_batch(
             method=method, mesh=mesh,
         )
         res = _to_storage(res, gen_cfg)
-        try:  # start the host copy eagerly where the backend supports it
-            res.copy_to_host_async()
-        except Exception:
-            pass
-        if pending is not None:
-            _drain(pending)
-        pending = (idx_raw, n_real, res)
+        if overlap:
+            try:  # start the host copy eagerly where the backend supports it
+                res.copy_to_host_async()
+            except Exception:
+                pass
+            if pending is not None:
+                _drain(pending)
+            pending = (idx_raw, n_real, res)
+        else:
+            _drain((idx_raw, n_real, res))
     if pending is not None:
         _drain(pending)
     return out

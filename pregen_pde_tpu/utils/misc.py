@@ -67,6 +67,23 @@ def use_best_backend(retries: int = 3, backoff_s: float = 20.0) -> str:
     return "cpu"
 
 
+def is_tunnel_backend() -> bool:
+    """True when the active backend is the dev environment's `axon` TPU
+    tunnel (its PJRT `platform_version` carries the plugin name even though
+    the platform registers as "tpu"). The tunnel has known behavioral gaps
+    vs real TPU hosts — `block_until_ready` is a no-op, `copy_to_host_async`
+    and fetch-during-execution crash its worker — so hot paths use this to
+    pick the conservative schedule there."""
+    try:
+        from jax.extend import backend as _jexb
+
+        return "axon" in getattr(
+            _jexb.get_backend(), "platform_version", ""
+        ).lower()
+    except Exception:
+        return False
+
+
 def assert_shape(x, ref_shape: Sequence[int | None]) -> None:
     """Raise AssertionError unless x.shape matches (None = any)."""
     if len(x.shape) != len(ref_shape):

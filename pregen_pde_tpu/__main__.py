@@ -90,6 +90,7 @@ def _cmd_generate(args):
             storage_dtype=args.storage_dtype,
             method=args.method,
             time_scale=args.time_scale,
+            max_steps_per_program=args.max_steps_per_program,
         )
         generate_ns_dataset(key, gen, args.n, writer=writer)
     else:
@@ -869,11 +870,23 @@ def main(argv=None):
                         "(physics difficulty: lower nu = harder)")
     g.add_argument("--forcing", default="fno",
                    choices=["fno", "kolmogorov", "none"])
-    g.add_argument("--time-scale", type=float, default=1.0,
-                   help="multiplies the Re->horizon difficulty schedule; for "
-                        "ns_spectral, 5e-4 reproduces the reference's "
-                        "5,500-13,500-step workload (1.0 = horizons in solver "
-                        "time units, 1M-27M steps)")
+    g.add_argument("--time-scale", type=float, default=5e-4,
+                   help="multiplies the Re->horizon difficulty schedule. The "
+                        "default 5e-4 reproduces the reference's actual "
+                        "5,500-13,500-step workload (its 1100-2700 OpenFOAM "
+                        "seconds at its dt); 1.0 = horizons literally in "
+                        "solver time units (1M-27M steps/trajectory — needs "
+                        "--max-steps-per-program through the dev tunnel, "
+                        "whose worker kills single programs running longer "
+                        "than ~1 min)")
+    g.add_argument("--max-steps-per-program", type=int, default=None,
+                   help="ns_spectral Pallas path: bound each device "
+                        "program to this many solver steps (the integrator "
+                        "state rounds through HBM between programs; "
+                        "bit-identical trajectories). Set e.g. 200000 for "
+                        "huge horizons (--time-scale 1.0) — the dev "
+                        "tunnel's worker kills single programs running "
+                        "longer than ~1 min")
     g.add_argument("--method", default="auto",
                    choices=["auto", "cn_ab2_pallas", "cn_ab2_pallas_high",
                             "cn_ab2_pallas_exact", "cn_ab2_packed",

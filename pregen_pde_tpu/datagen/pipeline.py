@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,13 @@ class GenerationConfig:
     # RK2, 2 evals/step. All 2nd order, oracle-verified
     # (`tests/test_spectral_ns.py`, `tests/test_spectral_ns_pallas.py`).
     method: str = "auto"
+    # bound per-device-program step count for ultra-long horizons
+    # (time_scale=1.0 → 1M-27M steps/trajectory): the Pallas integrator
+    # state rounds through HBM between bounded programs (bit-identical
+    # trajectories — `build_batched_traj(chunk_steps=...)`). None = whole
+    # trajectory in one program (fastest; the dev tunnel's worker kills
+    # programs running ≳1 min, so set this there for huge horizons).
+    max_steps_per_program: int | None = None
 
 
 def resolve_method(method: str, resolution: int, mesh=None) -> str:
@@ -171,6 +178,49 @@ def _generate_bucket(
     return _pack_contract(snaps, solver, re_norm, mask, sdf)
 
 
+@partial(jax.jit, static_argnames=("solver", "grf_alpha", "grf_tau",
+                                   "grf_sigma"))
+def _grf_batch(keys, solver, grf_alpha, grf_tau, grf_sigma):
+    grid = solver.grid
+    return jax.vmap(
+        lambda k: grf_2d(k, grid, alpha=grf_alpha, tau=grf_tau, sigma=grf_sigma)
+    )(keys)
+
+
+@lru_cache(maxsize=None)
+def _chunked_traj_cached(solver, precision: str, chunk_steps: int):
+    from pregen_pde_tpu.solvers.spectral_ns_pallas import build_batched_traj
+
+    return build_batched_traj(solver, precision=precision, output="fields",
+                              chunk_steps=chunk_steps)
+
+
+_pack_uvp_jit = jax.jit(_pack_contract_uvp)
+
+
+def _generate_bucket_chunked(
+    keys, nu, re_norm, solver, inner_steps: int,
+    grf_alpha, grf_tau, grf_sigma, method: str, chunk_steps: int,
+) -> jax.Array:
+    """Bounded-program variant of `_generate_bucket` (Pallas methods,
+    single-device): the trajectory is driven host-side as many ≤chunk_steps
+    programs with the integrator state carried through HBM — bit-identical
+    output (tests/test_spectral_ns_pallas.py), but no device program runs
+    longer than the tunnel worker's ~1 min kill window even at
+    time_scale=1.0 horizons (1M-27M steps/trajectory)."""
+    from pregen_pde_tpu.solvers.spectral_ns import PALLAS_METHODS
+
+    n = solver.grid.n
+    mask = no_hole_mask(n)
+    sdf = sdf_from_mask(mask)
+    w0 = _grf_batch(keys, solver, grf_alpha, grf_tau, grf_sigma)
+    traj = _chunked_traj_cached(solver, PALLAS_METHODS[method],
+                                int(chunk_steps))
+    uvp = traj(w0, nu, int(inner_steps))
+    return _pack_uvp_jit(uvp.astype(jnp.float32), re_norm,
+                         jnp.asarray(mask), jnp.asarray(sdf))
+
+
 def generate_ns_batch(
     key: jax.Array,
     gen_cfg: GenerationConfig,
@@ -204,6 +254,31 @@ def generate_ns_batch(
                 out.append(a)
         return tuple(out)
 
+    from pregen_pde_tpu.solvers.spectral_ns import PALLAS_METHODS
+
+    def _chunking() -> bool:
+        # bounded-program mode: Pallas methods, single device only (the
+        # sharded path has no chunked variant — its per-shard programs are
+        # already B/n_data wide); the jnp steppers take the jit path
+        return bool(
+            gen_cfg.max_steps_per_program
+            and method in PALLAS_METHODS
+            and (mesh is None or int(mesh.shape.get("data", 1)) == 1)
+        )
+
+    def _bucket(keys_b, nu_b, re_b, inner: int) -> jax.Array:
+        if _chunking():
+            return _generate_bucket_chunked(
+                keys_b, nu_b, re_b, solver, inner,
+                gen_cfg.grf_alpha, gen_cfg.grf_tau, gen_cfg.grf_sigma,
+                method, gen_cfg.max_steps_per_program,
+            )
+        return _generate_bucket(
+            keys_b, nu_b, re_b, solver, inner,
+            gen_cfg.grf_alpha, gen_cfg.grf_tau, gen_cfg.grf_sigma,
+            method=method, mesh=mesh,
+        )
+
     if not gen_cfg.vary_difficulty:
         nu = jnp.full((n_traj,), cfg.viscosity, jnp.float32)
         # Re channel: the fixed-ν benchmark's effective Re = U·L/ν with U=L=1
@@ -211,11 +286,7 @@ def generate_ns_batch(
         re_norm = jnp.full((n_traj,), schedules.normalize_re(re_fixed), jnp.float32)
         inner = max(int(round(cfg.t_end / cfg.dt)) // cfg.n_snapshots, 1)
         keys, nu, re_norm = place(keys, nu, re_norm)
-        out = _generate_bucket(
-            keys, nu, re_norm, solver, inner,
-            gen_cfg.grf_alpha, gen_cfg.grf_tau, gen_cfg.grf_sigma,
-            method=method, mesh=mesh,
-        )
+        out = _bucket(keys, nu, re_norm, inner)
         return np.asarray(jax.device_get(_to_storage(out, gen_cfg)))
 
     re = schedules.sample_reynolds(k_re, n_traj, gen_cfg.re_mean, gen_cfg.re_std)
@@ -267,17 +338,7 @@ def generate_ns_batch(
         sub_nu = jnp.asarray(np.asarray(nu)[idx])
         sub_re = jnp.asarray(np.asarray(re_norm)[idx])
         sub_keys, sub_nu, sub_re = place(sub_keys, sub_nu, sub_re)
-        res = _generate_bucket(
-            sub_keys,
-            sub_nu,
-            sub_re,
-            solver,
-            inner,
-            gen_cfg.grf_alpha,
-            gen_cfg.grf_tau,
-            gen_cfg.grf_sigma,
-            method=method, mesh=mesh,
-        )
+        res = _bucket(sub_keys, sub_nu, sub_re, inner)
         res = _to_storage(res, gen_cfg)
         if overlap:
             try:  # start the host copy eagerly where the backend supports it

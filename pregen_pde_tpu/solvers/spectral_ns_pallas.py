@@ -494,6 +494,7 @@ class _KernelFFT:
 def build_batched_traj(solver, inner_steps: int | None = None,
                        precision: str = "fast", group: int | str = "auto",
                        output: str = "vorticity",
+                       chunk_steps: int | None = None,
                        _diet2: bool | None = None):
     """Batched trajectory integrator ``traj(w0:(B,n,n), nu:(B,)|None) ->
     (B, T, n, n)`` running the whole CN+AB2 loop in one Pallas kernel.
@@ -573,14 +574,34 @@ def build_batched_traj(solver, inner_steps: int | None = None,
     else:
         inner = int(inner_steps)
 
-    def make_kernel(g):
+    def make_kernel(g, S_eff=None, carry=False):
+      """``carry=True`` is the bounded-program (chunked) variant: the AB2
+      history enters as inputs (n0r/n0i; a `boot` SMEM flag selects the
+      t=0 forward-Euler bootstrap instead) and the full integrator state
+      (ŵ, AB2 history — chunk-permuted spectral layout) is flushed to four
+      extra outputs at the last grid step, so a long horizon can round
+      through HBM across many short programs (the dev tunnel kills single
+      programs running ≳1 min; real hosts get preemption-friendly bounded
+      programs). The default path is unchanged."""
+      S_last = S if S_eff is None else S_eff
+
       def kernel(*refs):
-        (
-            inner_ref,
-            w0r_ref, w0i_ref, nu_ref,
-            kxr_ref, kyc_ref, dxr_ref, dyc_ref, k2x_ref, k2y_ref,
-        ) = refs[:10]
-        idx = 10
+        inner_ref = refs[0]
+        idx = 1
+        if carry:
+            boot_ref = refs[idx]
+            idx += 1
+        w0r_ref, w0i_ref = refs[idx : idx + 2]
+        idx += 2
+        if carry:
+            n0r_ref, n0i_ref = refs[idx : idx + 2]
+            idx += 2
+        nu_ref = refs[idx]
+        idx += 1
+        (kxr_ref, kyc_ref, dxr_ref, dyc_ref, k2x_ref, k2y_ref) = refs[
+            idx : idx + 6
+        ]
+        idx += 6
         if not diet2:
             ik2_ref = refs[idx]
             idx += 1
@@ -601,6 +622,9 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         else:
             out_ref = refs[idx]
             idx += 1
+        if carry:
+            st_wr, st_wi, st_nr, st_ni = refs[idx : idx + 4]
+            idx += 4
         if diet2:
             wr, wi, nr, ni = refs[idx : idx + 4]
         else:
@@ -703,8 +727,19 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             w0r = w0r_ref[:].reshape(g * n, n)
             w0i = w0i_ref[:].reshape(g * n, n)
             wr[:], wi[:] = w0r, w0i
-            r0, i0 = rhs(w0r, w0i)
-            nr[:], ni[:] = r0, i0
+            if carry:
+                # carried AB2 history; boot==1 (t=0 only) replaces it with
+                # the forward-Euler bootstrap exactly like the unchunked path
+                nr[:] = n0r_ref[:].reshape(g * n, n)
+                ni[:] = n0i_ref[:].reshape(g * n, n)
+
+                @pl.when(boot_ref[0] == 1)
+                def _boot():
+                    r0, i0 = rhs(w0r, w0i)
+                    nr[:], ni[:] = r0, i0
+            else:
+                r0, i0 = rhs(w0r, w0i)
+                nr[:], ni[:] = r0, i0
             # CN factors precomputed ONCE into scratch from the separable k²
             # and the per-image ν SMEM scalar (no (n, n) viscosity inputs,
             # no per-step recompute — measured ~16% of step time); nu_ref
@@ -793,10 +828,19 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             sr, _ = fft_out.ifft2(wr[:], wi[:])
             out_ref[:, 0] = sr.reshape(g, n, n)
 
+        if carry:
+            # flush the integrator state once, at the last grid step (the
+            # state blocks are revisited across s, so only this write lands)
+            @pl.when(s == S_last - 1)
+            def _flush_state():
+                st_wr[:] = wr[:].reshape(g, n, n)
+                st_wi[:] = wi[:].reshape(g, n, n)
+                st_nr[:] = nr[:].reshape(g, n, n)
+                st_ni[:] = ni[:].reshape(g, n, n)
+
       return kernel
 
-    def traj(w0: jax.Array, nu=None, inner_steps=None) -> jax.Array:
-        B = w0.shape[0]
+    def _pick_group(B):
         # group g images per kernel instance: the lane-axis FFT matmuls get
         # g-x wider M (better MXU utilization); sub-axis passes stay
         # per-image. VMEM bounds g·n² ≤ 2·256² (measured: g=2 best at 256²
@@ -811,6 +855,11 @@ def build_batched_traj(solver, inner_steps: int | None = None,
                 raise ValueError(f"batch {B} not divisible by group {g}")
         if diet2 and g != 1:
             raise ValueError(f"n={n} (VMEM diet v2) requires group=1, got {g}")
+        return g
+
+    def _make_call(g, B, S_eff, carry, interpret):
+        """Build the pallas_call for grid (B/g, S_eff); ``carry`` adds the
+        state-io plumbing (chunked mode — see make_kernel)."""
         cb = lambda: pl.BlockSpec(
             (g, n, n), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
         )
@@ -829,20 +878,15 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         cs = lambda: pl.BlockSpec(
             (6 * m, 128, 128), lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM
         )
-        inner_v = jnp.asarray(
-            inner if inner_steps is None else inner_steps, jnp.int32
-        ).reshape(1)
-        w0f = w0.astype(jnp.float32)
-        w0r, w0i = ct_fft.fft2_stored(w0f, jnp.zeros_like(w0f), plan)
-        nu_v = jnp.asarray(cfg.viscosity if nu is None else nu, jnp.float32)
-        nu_b = (
-            nu_v if nu_v.ndim == 1 else jnp.broadcast_to(nu_v, (B,))
-        ).astype(jnp.float32)
-        grid = (B // g, S)
-        # CPU (tests, virtual meshes): run through the Pallas interpreter —
-        # same semantics, no Mosaic. TPU-specific compiler params only apply
-        # to the compiled path.
-        interpret = jax.default_backend() == "cpu"
+        smem1 = lambda: pl.BlockSpec(
+            (1,), lambda b, s: (0,), memory_space=pltpu.SMEM
+        )
+        sb = lambda: pl.BlockSpec(  # state in/out: (g, n, n) block, no S axis
+            (g, n, n), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        snap_spec = lambda: pl.BlockSpec(
+            (g, 1, n, n), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM
+        )
         extra = (
             {}
             if interpret
@@ -859,13 +903,28 @@ def build_batched_traj(solver, inner_steps: int | None = None,
                 )
             }
         )
-        snaps = pl.pallas_call(
-            make_kernel(g),
+        n_snap_out = 3 if fields_out else 1
+        out_specs = [snap_spec() for _ in range(n_snap_out)]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, S_eff, n, n), jnp.float32)
+            for _ in range(n_snap_out)
+        ]
+        if carry:
+            out_specs += [sb() for _ in range(4)]
+            out_shape += [
+                jax.ShapeDtypeStruct((B, n, n), jnp.float32) for _ in range(4)
+            ]
+        elif not fields_out:
+            out_specs, out_shape = out_specs[0], out_shape[0]
+        return pl.pallas_call(
+            make_kernel(g, S_eff, carry),
             interpret=interpret,
-            grid=grid,
+            grid=(B // g, S_eff),
             in_specs=[
-                pl.BlockSpec((1,), lambda b, s: (0,), memory_space=pltpu.SMEM),
-                cb(), cb(),  # w0r, w0i
+                smem1(),  # inner steps
+                *([smem1()] if carry else []),  # bootstrap flag
+                cb(), cb(),  # w0r, w0i (carry: the chunk's state in)
+                *([cb(), cb()] if carry else []),  # n0r, n0i (AB2 history)
                 # whole (B,) ν array per instance (rank-1 SMEM blocks must
                 # be whole-array on Mosaic); kernel indexes b·g+im
                 pl.BlockSpec((B,), lambda b, s: (0,), memory_space=pltpu.SMEM),
@@ -875,31 +934,18 @@ def build_batched_traj(solver, inner_steps: int | None = None,
                 cm(), cm(), cm(), cm(), cm(), cm(), cm(), cm(),
                 *[cs() for _ in split_mats],
             ],
-            out_specs=(
-                [
-                    pl.BlockSpec((g, 1, n, n), lambda b, s: (b, s, 0, 0),
-                                 memory_space=pltpu.VMEM)
-                    for _ in range(3)
-                ]
-                if fields_out
-                else pl.BlockSpec((g, 1, n, n), lambda b, s: (b, s, 0, 0),
-                                  memory_space=pltpu.VMEM)
-            ),
-            out_shape=(
-                [jax.ShapeDtypeStruct((B, S, n, n), jnp.float32)
-                 for _ in range(3)]
-                if fields_out
-                else jax.ShapeDtypeStruct((B, S, n, n), jnp.float32)
-            ),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 # diet2: no vn/vd CN-factor scratch (rebuilt per step)
                 pltpu.VMEM((g * n, n), jnp.float32)
                 for _ in range(4 if diet2 else 6)
             ],
             **extra,
-        )(
-            inner_v,
-            w0r, w0i, nu_b,
+        )
+
+    def _const_args():
+        return (
             consts["kx_row"], consts["ky_col"],
             consts["dx_row"], consts["dy_col"],
             consts["k2x_row"], consts["k2y_col"],
@@ -907,6 +953,29 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             *([jnp.asarray(fr_np), jnp.asarray(fi_np)] if dense_forcing else []),
             *[jnp.asarray(a) for a in mats],
             *[jnp.asarray(a) for a in split_mats],
+        )
+
+    def _nu_batched(nu, B):
+        nu_v = jnp.asarray(cfg.viscosity if nu is None else nu, jnp.float32)
+        return (
+            nu_v if nu_v.ndim == 1 else jnp.broadcast_to(nu_v, (B,))
+        ).astype(jnp.float32)
+
+    def traj(w0: jax.Array, nu=None, inner_steps=None) -> jax.Array:
+        B = w0.shape[0]
+        g = _pick_group(B)
+        inner_v = jnp.asarray(
+            inner if inner_steps is None else inner_steps, jnp.int32
+        ).reshape(1)
+        w0f = w0.astype(jnp.float32)
+        w0r, w0i = ct_fft.fft2_stored(w0f, jnp.zeros_like(w0f), plan)
+        nu_b = _nu_batched(nu, B)
+        # CPU (tests, virtual meshes): run through the Pallas interpreter —
+        # same semantics, no Mosaic. TPU-specific compiler params only apply
+        # to the compiled path.
+        interpret = jax.default_backend() == "cpu"
+        snaps = _make_call(g, B, S, False, interpret)(
+            inner_v, w0r, w0i, nu_b, *_const_args()
         )
         if fields_out:
             u, v, p = snaps
@@ -923,7 +992,89 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             snaps = jnp.concatenate([w0f[:, None], snaps], axis=1)
         return snaps
 
-    return traj
+    _chunk_calls: dict = {}
+
+    def chunked_traj(w0: jax.Array, nu=None, inner_steps=None) -> jax.Array:
+        """Same trajectory as ``traj`` (bit-identical: the AB2 history rounds
+        through HBM in f32, losslessly) but no single device program runs
+        more than ``chunk_steps`` solver steps. Every chunk reuses ONE
+        executable (step count and bootstrap flag are SMEM scalars; grid
+        S=1). Each program also emits a snapshot of its final state; the
+        host keeps the ones on the snapshot cadence and drops mid-interval
+        ones (the epilogue is ≲3 steps' worth of work — negligible at
+        chunk_steps ≥ 10⁴). ``inner_steps`` must be a host int here: the
+        chunk schedule is host-side."""
+        B = w0.shape[0]
+        g = _pick_group(B)
+        inner_i = inner if inner_steps is None else inner_steps
+        if isinstance(inner_i, jax.core.Tracer):
+            raise TypeError(
+                "chunked mode schedules programs host-side; inner_steps "
+                "must be a concrete int, not a tracer"
+            )
+        inner_i = max(int(inner_i), 1)
+        cap = max(int(chunk_steps), 1)
+        interpret = jax.default_backend() == "cpu"
+        # one jitted executable per (g, B): cached across calls/buckets —
+        # a fresh jax.jit wrapper every call would recompile every time
+        ckey = (g, B, interpret)
+        call = _chunk_calls.get(ckey)
+        if call is None:
+            call = _chunk_calls[ckey] = jax.jit(
+                _make_call(g, B, 1, True, interpret)
+            )
+        # prologue/epilogue run as jitted programs too — EAGER dispatch of
+        # the transforms materializes complex64 constants host-side, and
+        # the dev tunnel cannot transfer complex buffers host→device
+        # (surfaces as a delayed bare UNIMPLEMENTED)
+        pkey = ("prep", B, interpret)
+        prep = _chunk_calls.get(pkey)
+        if prep is None:
+            def _prep(w0_):
+                w0f_ = w0_.astype(jnp.float32)
+                w0r_, w0i_ = ct_fft.fft2_stored(
+                    w0f_, jnp.zeros_like(w0f_), plan
+                )
+                if fields_out and cfg.include_initial:
+                    def init_fields(w):
+                        f = solver.fields_from_vorticity(w)
+                        return jnp.stack([f["u"], f["v"], f["p"]], axis=-1)
+
+                    f0_ = jax.vmap(init_fields)(w0f_).astype(jnp.float32)
+                else:
+                    f0_ = w0f_
+                return w0f_, w0r_, w0i_, f0_
+
+            prep = _chunk_calls[pkey] = jax.jit(_prep)
+        w0f, w0r, w0i, f0 = prep(w0)
+        nu_b = _nu_batched(nu, B)
+        zero = jnp.zeros_like(w0r)
+        st = (w0r, w0i, zero, zero)
+        boot = jnp.ones((1,), jnp.int32)
+        not_boot = jnp.zeros((1,), jnp.int32)
+        cargs = _const_args()
+        snaps = []
+        for _ in range(S):
+            rem = inner_i
+            while rem > 0:
+                take = min(rem, cap)
+                rem -= take
+                outs = call(
+                    jnp.asarray([take], jnp.int32), boot,
+                    st[0], st[1], st[2], st[3], nu_b, *cargs,
+                )
+                boot = not_boot
+                st = tuple(outs[-4:])
+            snaps.append(
+                jnp.stack(outs[:3], axis=-1) if fields_out else outs[0]
+            )
+        snaps = jnp.concatenate(snaps, axis=1)  # (B, S, n, n[, 3])
+        if cfg.include_initial:
+            first = f0 if fields_out else w0f
+            snaps = jnp.concatenate([first[:, None], snaps], axis=1)
+        return snaps
+
+    return chunked_traj if chunk_steps else traj
 
 
 def build_sharded_traj(solver, mesh, inner_steps: int | None = None,

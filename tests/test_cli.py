@@ -147,3 +147,18 @@ def test_generate_viscosity_and_time_scale_flags(tmp_path, capsys):
               "--time-scale", "2e-4"])
     ts = np.load(tmp_path / "ts" / "results_batch_0.npy")
     assert ts.shape == (4, 21, 16, 16, 6) and np.isfinite(ts).all()
+
+
+def test_generate_max_steps_per_program(tmp_path):
+    """--max-steps-per-program (bounded-program chunked mode, Pallas path)
+    produces the identical dataset to the single-program run — the chunk
+    schedule is a pure execution-shape choice."""
+    common = ["generate", "--workload", "ns_spectral", "--n", "2",
+              "--resolution", "128", "--batch-size", "2",
+              "--time-scale", "1e-6", "--method", "cn_ab2_pallas"]
+    cli.main(common + ["--out", str(tmp_path / "one")])
+    cli.main(common + ["--out", str(tmp_path / "chunk"),
+                       "--max-steps-per-program", "2"])
+    one = np.load(tmp_path / "one" / "results_batch_0.npy")
+    chunk = np.load(tmp_path / "chunk" / "results_batch_0.npy")
+    assert np.array_equal(one, chunk)

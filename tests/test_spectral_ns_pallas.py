@@ -252,3 +252,63 @@ def test_generate_bucket_pallas_fields_path_matches_packed(monkeypatch):
     assert got.shape == ref.shape and got.shape[-1] == 6
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     assert err < 5e-6, err
+
+
+def test_chunked_traj_bit_identical_to_single_program():
+    """`chunk_steps` (bounded-program mode: AB2 state rounds through HBM in
+    f32 between ≤chunk_steps programs) must reproduce the single-program
+    kernel BITWISE — same op sequence, lossless state roundtrip. Chunk
+    boundaries land both mid-snapshot-interval (cap 4 vs inner 10) and on
+    the cadence."""
+    cfg = NSVorticityConfig(
+        resolution=128, viscosity=1e-3, dt=1e-3, t_end=0.03,
+        n_snapshots=3, include_initial=True, forcing="fno",
+    )
+    sol = NSVorticitySolver(cfg)
+    rng = np.random.default_rng(5)
+    w0 = jnp.asarray(rng.normal(size=(2, 128, 128)).astype(np.float32))
+    nu = jnp.asarray([1e-3, 2e-3], jnp.float32)
+    for output in ("vorticity", "fields"):
+        ref = np.asarray(
+            snp.build_batched_traj(sol, output=output)(w0, nu, 10)
+        )
+        got = np.asarray(
+            snp.build_batched_traj(sol, output=output, chunk_steps=4)(
+                w0, nu, 10
+            )
+        )
+        assert got.shape == ref.shape
+        assert np.array_equal(got, ref), (
+            output, np.max(np.abs(got - ref)))
+
+
+def test_chunked_traj_rejects_traced_inner():
+    cfg = NSVorticityConfig(
+        resolution=128, viscosity=1e-3, dt=1e-3, t_end=2e-3,
+        n_snapshots=1, include_initial=False, forcing="none",
+    )
+    sol = NSVorticitySolver(cfg)
+    traj = snp.build_batched_traj(sol, chunk_steps=4)
+    w0 = jnp.zeros((1, 128, 128), jnp.float32)
+    with pytest.raises(TypeError, match="concrete int"):
+        jax.jit(lambda s: traj(w0, None, s))(jnp.int32(3))
+
+
+def test_generate_bucket_chunked_matches_unchunked():
+    """The datagen bounded-program bucket path (`max_steps_per_program`)
+    must produce the identical contract array."""
+    from pregen_pde_tpu.datagen import pipeline as pl_mod
+
+    cfg = NSVorticityConfig(
+        resolution=128, viscosity=1e-3, dt=1e-3, t_end=2e-3,
+        n_snapshots=2, include_initial=True, forcing="fno",
+    )
+    sol = NSVorticitySolver(cfg)
+    keys = jax.random.split(jax.random.key(1), 2)
+    nu = jnp.asarray([1e-3, 2e-3], jnp.float32)
+    re = jnp.asarray([0.1, 0.2], jnp.float32)
+    ref = np.asarray(pl_mod._generate_bucket(
+        keys, nu, re, sol, 3, method="cn_ab2_pallas"))
+    got = np.asarray(pl_mod._generate_bucket_chunked(
+        keys, nu, re, sol, 3, 2.5, 7.0, None, "cn_ab2_pallas", 2))
+    assert np.array_equal(got, ref), np.max(np.abs(got - ref))

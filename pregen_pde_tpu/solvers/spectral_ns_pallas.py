@@ -66,12 +66,21 @@ def supported(n: int) -> bool:
 def _matrix_pack(plan: ct_fft.CTFFTPlan):
     """(m,128,128) f32 stacks: forward/inverse DFT matrices and transposes
     (lane-axis transforms right-multiply D; sublane-axis transforms
-    left-multiply D^T)."""
+    left-multiply D^T).
+
+    The inverse stacks carry the butterfly's 1/m normalization folded in
+    (each of the two inverse stages applies its own 1/m → total 1/m², same
+    as before): `_combine` then runs with scale 1.0, whose ±1/±i weights
+    lower to VPU adds/negations instead of full-plane scalar multiplies —
+    at m=2 that removes ~16 (n,n)-plane multiplies per AB2 step. Exact for
+    the power-of-two radices (m ∈ {1,2,4,8}: 1/m is a dyadic scale folded
+    into a matrix constant); odd radices differ by ≤1 ulp rounding."""
     f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+    inv_m = 1.0 / plan.m
     fr = f32(np.stack([d.real for d in plan.fwd]))
     fi = f32(np.stack([d.imag for d in plan.fwd]))
-    ir = f32(np.stack([d.real for d in plan.inv]))
-    ii = f32(np.stack([d.imag for d in plan.inv]))
+    ir = f32(np.stack([d.real * inv_m for d in plan.inv]))
+    ii = f32(np.stack([d.imag * inv_m for d in plan.inv]))
     t = lambda a: np.ascontiguousarray(np.swapaxes(a, -1, -2))
     return fr, fi, t(fr), t(fi), ir, ii, t(ir), t(ii)
 
@@ -88,6 +97,9 @@ def _matrix_pack_split(plan: ct_fft.CTFFTPlan):
     Returns 4 arrays of shape (6m, 128, 128) bf16 — [fwd-right, fwd-left,
     inv-right, inv-left], each laid out chunk-major: index c*6 + t*2 + h
     with t ∈ {0: D_r−D_i, 1: D_i, 2: D_r}, h ∈ {0: hi, 1: lo}.
+
+    Inverse packs carry the 1/m butterfly normalization folded in, matching
+    `_matrix_pack` (the combine then runs at scale 1.0 — see there).
     """
 
     def split(mat):
@@ -108,10 +120,11 @@ def _matrix_pack_split(plan: ct_fft.CTFFTPlan):
                 out.extend(split(combo))
         return np.ascontiguousarray(np.stack(out))
 
+    inv_m = 1.0 / plan.m
     fwd_r = [d.real for d in plan.fwd]
     fwd_i = [d.imag for d in plan.fwd]
-    inv_r = [d.real for d in plan.inv]
-    inv_i = [d.imag for d in plan.inv]
+    inv_r = [d.real * inv_m for d in plan.inv]
+    inv_i = [d.imag * inv_m for d in plan.inv]
     return (
         pack(fwd_r, fwd_i, False),
         pack(fwd_r, fwd_i, True),
@@ -336,8 +349,9 @@ class _KernelFFT:
 
     Matrix refs: fr/fi (m,128,128) forward, frT/fiT transposes; i* inverse.
     ``prec``: matmul precision for this instance — the hot loop runs the
-    Mosaic default (one bf16 MXU pass; spectrum-validated, see PERF.md),
-    the per-snapshot output transform always runs HIGHEST.
+    Mosaic default (one bf16 MXU pass; spectrum-validated, see PERF.md);
+    the per-snapshot output transform runs split-3-pass (fast) or HIGHEST
+    (high/exact, and fast under diet2).
     """
 
     def __init__(self, m, table, fr, fi, frT, fiT, ir, ii, irT, iiT,
@@ -457,7 +471,9 @@ class _KernelFFT:
                 _cmm_r(er, ei, self.ir[c], self.ii[c], self.prec)
                 for c, (er, ei) in enumerate(ch)
             ]
-        outs = _combine(ts, self.t, True, 1.0 / self.m)
+        # 1/m lives in the inverse matrices (`_matrix_pack`): scale-1 combine
+        # → ±1/±i butterfly weights lower to adds/negations, not multiplies
+        outs = _combine(ts, self.t, True, 1.0)
         return (
             jnp.concatenate([o[0] for o in outs], axis=1),
             jnp.concatenate([o[1] for o in outs], axis=1),
@@ -475,7 +491,7 @@ class _KernelFFT:
                 _cmm_l(self.irT[c], self.iiT[c], er, ei, self.prec)
                 for c, (er, ei) in enumerate(ch)
             ]
-        outs = _combine(ts, self.t, True, 1.0 / self.m)
+        outs = _combine(ts, self.t, True, 1.0)  # 1/m folded into irT/iiT
         return (
             jnp.concatenate([o[0] for o in outs], axis=0),
             jnp.concatenate([o[1] for o in outs], axis=0),
@@ -516,8 +532,12 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         pass). Measured 10.7x over the XLA-FFT path at 256² (g=2);
         trajectory-vs-jnp-path deviation is ~1e-4 unbiased noise (energy
         spectrum agrees to ~0.1% in every band — below float16 storage
-        quantization; PERF.md). The initial transform and the per-snapshot
-        output transform always run HIGHEST.
+        quantization; PERF.md). The initial transform runs HIGHEST (outside
+        the kernel); the per-snapshot output transform runs the 3-pass
+        split-bf16 scheme (~2⁻¹⁷/op — half of HIGHEST's passes, and far
+        below the loop's 1.8e-4 trajectory noise; a 1-pass epilogue stamped
+        3-5e-3 per snapshot and stays banned), except under diet2 (1024²)
+        where VMEM keeps the epilogue at HIGHEST.
       - "high" — hot-loop matmuls via the 3-pass split-bf16 scheme
         (`_matrix_pack_split`, ~2⁻¹⁷ per-op): the rtol-1e-6-grade path at
         3x the fast pass count instead of HIGHEST's 6x.
@@ -559,8 +579,42 @@ def build_batched_traj(solver, inner_steps: int | None = None,
     plan = ct_fft.make_plan(n, m)
     table = _bf(m)
     mats = _matrix_pack(plan)
-    split_mats = _matrix_pack_split(plan) if use_split else ()
+    # fast tier: the per-snapshot OUTPUT transform runs the 3-pass split
+    # scheme instead of HIGHEST (6-pass) — same epilogue math at half the
+    # MXU passes, per-op ~2⁻¹⁷ (vs the fast loop's measured 1.8e-4
+    # trajectory deviation, so the snapshot floor is unchanged; the 1-pass
+    # epilogue that DID stamp 3-5e-3 per snapshot stays banned — PERF.md).
+    # Gated to n ≤ 512 (measured-plentiful VMEM): the split packs add
+    # 4×(6m,128,128) bf16 of always-live constants (~1.6 MB at 256²), and
+    # the 640²-1024² layouts run VMEM-tight with minutes-long Mosaic
+    # compiles — not worth re-qualifying for a ~2% epilogue saving there.
+    use_split_out = precision == "fast" and not diet2 and n <= 512
+    # Dealias fold: bake the 0/1 dealias mask into the LOOP's forward DFT
+    # matrices (masked spectral columns/rows become exact zero columns —
+    # bitwise-identical to the explicit post-transform multiply) so `rhs`
+    # skips 4 full-plane VPU multiplies per step. The epilogue transform
+    # (`fft_out`) keeps the unmasked matrices (the pressure diagnosis must
+    # not be dealiased). The split ("high") loop keeps the explicit
+    # multiply; same n ≤ 512 VMEM gate as above (adds 4×(m,128,128) f32).
+    fold_dealias = bool(cfg.dealias) and not use_split and n <= 512
+    split_mats = (
+        _matrix_pack_split(plan) if (use_split or use_split_out) else ()
+    )
     consts = _spectral_consts_diet(solver, plan)
+    if fold_dealias:
+        g_ = solver.grid
+        kmax_ = (n // 2) * (2.0 * np.pi / g_.length)
+        de1_ = (np.abs(np.asarray(g_.k_full)) <= (2.0 / 3.0) * kmax_)
+        colmask = de1_[plan.perm].reshape(m, 128).astype(np.float32)
+        mk = lambda a: np.ascontiguousarray(a)
+        mats_deal = (
+            mk(mats[0] * colmask[:, None, :]),  # fr·diag(mask) (columns)
+            mk(mats[1] * colmask[:, None, :]),
+            mk(mats[2] * colmask[:, :, None]),  # frT: rows = D's columns
+            mk(mats[3] * colmask[:, :, None]),
+        )
+    else:
+        mats_deal = ()
     fr_np, fi_np = _forcing_stored(solver, plan, n)
     sparse_f = _sparse_forcing(fr_np, fi_np, solver.grid.k_full, plan.perm)
     dense_forcing = sparse_f is None
@@ -612,8 +666,14 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             idx : idx + 8
         ]
         idx += 8
+        if fold_dealias:
+            # dealias-masked forward matrices for the LOOP transform only
+            frd_m, fid_m, frdT_m, fidT_m = refs[idx : idx + 4]
+            idx += 4
+        else:
+            frd_m, fid_m, frdT_m, fidT_m = fr_m, fi_m, frT_m, fiT_m
         split_vals = None
-        if use_split:
+        if use_split or use_split_out:
             split_vals = tuple(r[:] for r in refs[idx : idx + 4])
             idx += 4
         if fields_out:
@@ -636,13 +696,18 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         )
         fft = _KernelFFT(
             m, table,
-            fr_m, fi_m, frT_m, fiT_m, ir_m, ii_m, irT_m, iiT_m,
-            prec=loop_prec, g=g, n=n, split=split_vals,
+            frd_m, fid_m, frdT_m, fidT_m, ir_m, ii_m, irT_m, iiT_m,
+            prec=loop_prec, g=g, n=n,
+            split=split_vals if use_split else None,
         )
+        # output-transform instance: HIGHEST for high/exact (the measured
+        # "high ≡ exact at every snapshot" claim was pinned with a HIGHEST
+        # epilogue); 3-pass split for fast (half the passes, ~2⁻¹⁷/op).
         fft_out = _KernelFFT(
             m, table,
             fr_m, fi_m, frT_m, fiT_m, ir_m, ii_m, irT_m, iiT_m,
             prec=jax.lax.Precision.HIGHEST, g=g, n=n,
+            split=split_vals if use_split_out else None,
         )
         # broadcastable spectral constants, fused at use sites — nothing is
         # g-tiled or materialized: row constants broadcast directly against
@@ -706,7 +771,7 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             gr, gi = fft.ifft2(c2r, c2i)
             adv = ur * gr + vr_ * gi
             Ar, Ai = fft.fft2(adv, real_input=True)
-            if dealias:
+            if dealias and not fold_dealias:
                 Ar = bimg(Ar * dxr, dyc1, "dy")
                 Ai = bimg(Ai * dxr, dyc1, "dy")
             outr, outi = -Ar, -Ai
@@ -932,6 +997,7 @@ def build_batched_traj(solver, inner_steps: int | None = None,
                 *([] if diet2 else [cnn()]),  # ik2 (diet2: rebuilt in-kernel)
                 *([cnn(), cnn()] if dense_forcing else []),
                 cm(), cm(), cm(), cm(), cm(), cm(), cm(), cm(),
+                *[cm() for _ in mats_deal],
                 *[cs() for _ in split_mats],
             ],
             out_specs=out_specs,
@@ -952,6 +1018,7 @@ def build_batched_traj(solver, inner_steps: int | None = None,
             *([] if diet2 else [consts["ik2"]]),
             *([jnp.asarray(fr_np), jnp.asarray(fi_np)] if dense_forcing else []),
             *[jnp.asarray(a) for a in mats],
+            *[jnp.asarray(a) for a in mats_deal],
             *[jnp.asarray(a) for a in split_mats],
         )
 

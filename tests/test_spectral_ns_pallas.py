@@ -37,7 +37,9 @@ def test_pallas_matches_jnp_packed_ab2(n, drag, forcing):
     got = np.asarray(snp.build_batched_traj(sol)(w0, nu))
     assert got.shape == ref.shape
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
-    assert err < 5e-6, err
+    # fast tier: loop matmuls are f32 in interpret mode, but the snapshot
+    # epilogue runs the REAL 3-pass split-bf16 scheme (~2⁻¹⁷/op) → ~1e-5
+    assert err < 5e-5, err
 
 
 @pytest.mark.parametrize("n", [384, 640])
@@ -56,7 +58,7 @@ def test_pallas_odd_radix_matches_jnp(n):
         w0, jnp.asarray([1e-3], jnp.float32)))
     got = np.asarray(snp.build_batched_traj(sol)(w0))
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
-    assert err < 5e-6, err
+    assert err < 5e-5, err  # fast: split-bf16 snapshot epilogue (~2⁻¹⁷/op)
 
 
 def test_pallas_traced_inner_steps():
@@ -77,7 +79,7 @@ def test_pallas_traced_inner_steps():
         ref = np.asarray(ref_fn(w0, 1e-3, jnp.asarray(inner, jnp.int32)))
         got = np.asarray(pal(w0, None, jnp.asarray(inner, jnp.int32)))
         err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
-        assert err < 5e-6, (inner, err)
+        assert err < 5e-5, (inner, err)  # fast: split-bf16 epilogue
 
 
 def test_sharded_traj_on_virtual_mesh():
@@ -190,7 +192,9 @@ def test_matrix_pack_split_reconstructs_f32():
     plan = ct_fft.make_plan(256, 2)
     fwd_r, fwd_l, inv_r, inv_l = snp._matrix_pack_split(plan)
     assert fwd_r.shape == (12, 128, 128)
-    for pack, mats in ((fwd_r, plan.fwd), (inv_r, plan.inv)):
+    # inverse packs carry the folded 1/m butterfly normalization
+    inv_scaled = [d / plan.m for d in plan.inv]
+    for pack, mats in ((fwd_r, plan.fwd), (inv_r, inv_scaled)):
         for c, d in enumerate(mats):
             for t, combo in enumerate((d.real - d.imag, d.imag, d.real)):
                 rec = pack[c * 6 + 2 * t].astype(np.float64) + pack[
@@ -229,7 +233,7 @@ def test_pallas_fields_output_matches_jnp_diagnosis():
     )
     assert got.shape == ref.shape == (2, 3, n, n, 3)
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
-    assert err < 5e-6, err
+    assert err < 5e-5, err  # fast: split-bf16 snapshot epilogue
 
 
 def test_generate_bucket_pallas_fields_path_matches_packed(monkeypatch):
@@ -251,7 +255,7 @@ def test_generate_bucket_pallas_fields_path_matches_packed(monkeypatch):
         keys, nu, re, sol, 2, method="cn_ab2_pallas"))
     assert got.shape == ref.shape and got.shape[-1] == 6
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
-    assert err < 5e-6, err
+    assert err < 5e-5, err  # fast: split-bf16 snapshot epilogue
 
 
 def test_chunked_traj_bit_identical_to_single_program():

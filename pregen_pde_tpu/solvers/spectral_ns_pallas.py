@@ -350,8 +350,9 @@ class _KernelFFT:
     Matrix refs: fr/fi (m,128,128) forward, frT/fiT transposes; i* inverse.
     ``prec``: matmul precision for this instance — the hot loop runs the
     Mosaic default (one bf16 MXU pass; spectrum-validated, see PERF.md);
-    the per-snapshot output transform runs split-3-pass (fast) or HIGHEST
-    (high/exact, and fast under diet2).
+    the per-snapshot output transform runs split-3-pass (fast, n ≤ 512
+    only) or HIGHEST (high/exact, and fast at 640²–1024² where the split
+    packs don't earn their VMEM).
     """
 
     def __init__(self, m, table, fr, fi, frT, fiT, ir, ii, irT, iiT,
@@ -536,8 +537,9 @@ def build_batched_traj(solver, inner_steps: int | None = None,
         the kernel); the per-snapshot output transform runs the 3-pass
         split-bf16 scheme (~2⁻¹⁷/op — half of HIGHEST's passes, and far
         below the loop's 1.8e-4 trajectory noise; a 1-pass epilogue stamped
-        3-5e-3 per snapshot and stays banned), except under diet2 (1024²)
-        where VMEM keeps the epilogue at HIGHEST.
+        3-5e-3 per snapshot and stays banned) for n ≤ 512 only — at
+        640²–1024² the VMEM-tight layouts keep the epilogue at HIGHEST
+        (see the `use_split_out` gate below).
       - "high" — hot-loop matmuls via the 3-pass split-bf16 scheme
         (`_matrix_pack_split`, ~2⁻¹⁷ per-op): the rtol-1e-6-grade path at
         3x the fast pass count instead of HIGHEST's 6x.

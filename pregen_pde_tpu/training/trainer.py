@@ -257,7 +257,10 @@ class Trainer:
             tree,
         )
 
-    def _make_train_step(self):
+    def _make_train_step_raw(self):
+        """The pure (state, batch) -> (state, loss) step, unjitted — reused by
+        the per-step jit below and by the device-resident per-EPOCH scan
+        (`training/device_data.py::fit_resident`)."""
         loss_fn = self.loss_fn
         full_loss_fn = self.full_loss_fn
         cast = self._cast_compute
@@ -274,20 +277,6 @@ class Trainer:
         if remat:
             forward = jax.checkpoint(forward, static_argnums=(3,))
 
-        # donate the state: outputs alias inputs in place (halves peak param
-        # memory and avoids per-step buffer churn through the TPU tunnel);
-        # the fit loop reassigns self.state every step so the donated
-        # buffers are never reused
-        # under ZeRO, pin the output state to its sharded layout — without
-        # the pin XLA may re-replicate the updated params and silently
-        # forfeit the memory savings
-        out_sh = (
-            (self._state_sh, None)
-            if self.cfg.zero_stage is not None and hasattr(self, "_state_sh")
-            else None
-        )
-
-        @partial(jax.jit, donate_argnums=(0,), out_shardings=out_sh)
         def train_step(state: TrainState, batch: dict):
             step_rng = jax.random.fold_in(dropout_base, state.step)
 
@@ -305,6 +294,23 @@ class Trainer:
             return state.apply_gradients(grads=grads), loss
 
         return train_step
+
+    def _make_train_step(self):
+        # donate the state: outputs alias inputs in place (halves peak param
+        # memory and avoids per-step buffer churn through the TPU tunnel);
+        # the fit loop reassigns self.state every step so the donated
+        # buffers are never reused
+        # under ZeRO, pin the output state to its sharded layout — without
+        # the pin XLA may re-replicate the updated params and silently
+        # forfeit the memory savings
+        out_sh = (
+            (self._state_sh, None)
+            if self.cfg.zero_stage is not None and hasattr(self, "_state_sh")
+            else None
+        )
+        return partial(jax.jit, donate_argnums=(0,), out_shardings=out_sh)(
+            self._make_train_step_raw()
+        )
 
     def _make_eval_step(self):
         p = self.cfg.loss_p

@@ -88,10 +88,21 @@ def main():
     from pregen_pde_tpu.utils.compcache import enable_persistent_cache
 
     enable_persistent_cache()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch", nargs="?", type=int, default=2)
+    # toy-size knobs so CI can smoke-test the script (tests/test_examples.py);
+    # defaults are the full north-star config
+    ap.add_argument("--resolution", type=int, default=256)
+    ap.add_argument("--t-end", type=float, default=0.25)
+    ap.add_argument("--snapshots", type=int, default=50)
+    args = ap.parse_args()
+    batch = args.batch
     cfg = NSVorticityConfig(
-        resolution=256, viscosity=1e-4, dt=1e-4, t_end=0.25,
-        n_snapshots=50, forcing="fno", include_initial=True,
+        resolution=args.resolution, viscosity=1e-4, dt=1e-4,
+        t_end=args.t_end, n_snapshots=args.snapshots, forcing="fno",
+        include_initial=True,
     )
     solver = NSVorticitySolver(cfg)
     keys = jax.random.split(jax.random.key(0), batch)

@@ -62,6 +62,7 @@ def _make_model(name, in_size, fast):
         kw = dict(MODEL_SIZES[size])
         if fast:
             kw["embed_dim"] = 16
+            kw["num_heads"] = (2, 4, 8, 16)  # embed 16 not divisible by 3
         return ScOT(ScOTConfig(image_size=in_size, num_channels=7,
                                num_out_channels=3, **kw))
     raise SystemExit(f"unknown model {name}")

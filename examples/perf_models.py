@@ -66,12 +66,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="cno,scot_t,scot_b,fno,ffno")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="toy sizes for CI smoke (tests/test_examples.py)")
     args = ap.parse_args()
     from pregen_pde_tpu.utils.misc import use_best_backend
 
     use_best_backend()  # tolerate the tunnel's shifting platform name
     want = args.models.split(",")
     dtype = jnp.bfloat16 if args.bf16 else None
+    if args.fast:
+        global measure
+        _measure_full = measure
+
+        def measure(m, batch, cin, cout, size, dt):  # noqa: F811
+            return _measure_full(m, 2, cin, cout, 32, dt, reps=1)
 
     if "cno" in want:
         from pregen_pde_tpu.models.cno import CNO

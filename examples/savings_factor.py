@@ -1,0 +1,286 @@
+"""Quantify the headline: equal-error data-generation compute savings.
+
+The reference's central claim is a ~8.9x saving in classical-solver compute
+at equal test error from mixing cheap easy trajectories into the training
+set (`/root/reference/README.md:41,75-79`), produced by the Poseidon/scOT
+mixing protocol (`scOT/mixingexp.py:299-384,650-711`: scOT, hole vs no-hole
+geometry difficulty, alpha*N hard + (1-alpha)*N easy, shared streaming
+stats, dual held-out test sets). This script measures THIS framework's
+analog of that number end-to-end on one chip:
+
+1. generate N_gen trajectories per difficulty with the fused Pallas
+   projection pipeline (EASY = obstacle-free channel `fpo_regular`,
+   HARD = random multi-hole geometry `fpo_multi_hole` ==
+   `Multiple_Hole/main.py`), recording the wall-clock generation cost of
+   each difficulty;
+2. train scOT (the reference's mixing model) at every alpha on alpha*N hard
+   + (1-alpha)*N easy with shared stats, early-stopping on the 50/50
+   validation plateau (epochs are NOT fixed: runs stop when the val curve
+   flattens, `--patience`);
+3. train hard-only models at a ladder of dataset sizes -> the hard-only
+   error-vs-cost curve;
+4. iso-error analysis: for each mixed run, the generation cost of the
+   hard-only dataset that reaches the same test-hard error (log-log
+   interpolation on the ladder), and
+
+       savings(alpha) = cost_hard_only(iso-error N*) / cost_mixed(alpha)
+
+   -- the framework's measured equivalent of the reference's 8.9x.
+
+Every stage is resumable: generated sets and per-run results are cached in
+--state-dir; re-running skips finished work. Training uses the
+device-resident pipeline (`training/device_data.py`) -- one HBM upload
+serves every run, one jitted program per epoch -- because through this dev
+environment's tunnel a host-loader step costs ~0.28 s vs 38 ms of scOT-T
+compute (PERF.md).
+
+Results land in --state-dir/savings.json and are summarized in PERF.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _log(msg: str):
+    print(f"[savings {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def generate_sets(state: Path, n_gen: int, fast: bool) -> dict:
+    """Generate (or load) the hard/easy trajectory sets; returns metadata
+    with per-difficulty wall-clock generation cost."""
+    import jax
+
+    from pregen_pde_tpu.datagen.masked_ns import (
+        MaskedNSConfig,
+        generate_masked_ns_batch,
+    )
+
+    meta_path = state / "gen_meta.json"
+    if meta_path.exists():
+        return json.loads(meta_path.read_text())
+    res = 32 if fast else 128
+    gen_kw = dict(
+        resolution=res,
+        dt=0.05 if fast else 0.2,
+        n_snapshots=4 if fast else 20,
+        time_scale=2e-4 if fast else 1.0,
+        cg_iters=60 if fast else 150,
+    )
+    meta = {"n_gen": n_gen, "resolution": res}
+    for name, pipeline, seed in (("hard", "fpo_multi_hole", 0),
+                                 ("easy", "fpo_regular", 1)):
+        t0 = time.time()
+        arr = generate_masked_ns_batch(
+            jax.random.key(seed), MaskedNSConfig(pipeline=pipeline, **gen_kw),
+            n_gen, storage_dtype="float16",
+        )
+        wall = time.time() - t0
+        np.save(state / f"{name}.npy", arr)
+        meta[f"gen_{name}_s"] = round(wall, 2)
+        meta[f"cost_per_traj_{name}_s"] = round(wall / n_gen, 4)
+        _log(f"generated {name}: {n_gen} traj in {wall:.1f}s")
+    meta_path.write_text(json.dumps(meta, indent=1))
+    return meta
+
+
+def make_model(size: str, res: int, fast: bool):
+    from pregen_pde_tpu.models.scot import MODEL_SIZES, ScOT, ScOTConfig
+
+    kw = dict(MODEL_SIZES[size])
+    if fast:
+        kw["embed_dim"] = 16
+        kw["num_heads"] = (2, 4, 8, 16)  # embed 16 is not divisible by 3
+    return ScOT(ScOTConfig(image_size=res, num_channels=7,
+                           num_out_channels=3, **kw))
+
+
+def run_one(name: str, spec: dict, store, mean, std, cfg_time, args,
+            state: Path) -> dict:
+    """Train one configuration (cached as run_<name>.json)."""
+    out_path = state / f"run_{name}.json"
+    if out_path.exists():
+        return json.loads(out_path.read_text())
+    from pregen_pde_tpu.training.device_data import (
+        fit_resident,
+        make_device_eval_fn,
+    )
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    n_hard, n_easy = spec["n_hard"], spec["n_easy"]
+    tris = []
+    if n_hard:
+        tris.append(store.triples("hard", "train", cfg_time, n_hard))
+    if n_easy:
+        tris.append(store.triples("easy", "train", cfg_time, n_easy))
+    train_tri = np.concatenate(tris)
+    val_tri = {"vh": store.triples("hard", "val", cfg_time),
+               "ve": store.triples("easy", "val", cfg_time)}
+
+    model = make_model(args.model_size, store.data.shape[2], args.fast)
+    trainer = Trainer(model, TrainerConfig(
+        learning_rate=5e-5,  # reference configs/mixing.yaml
+        epochs=args.epochs, batch_size=args.batch_size,
+        early_stop_patience=args.patience, grad_clip=5.0, seed=0,
+    ))
+    t0 = time.time()
+    res = fit_resident(trainer, store, train_tri, mean, std,
+                       val_triples=val_tri,
+                       log_fn=lambda r: _log(f"{name} {json.dumps(r)}"))
+    trainer.restore_best()
+    rec = {
+        "spec": spec,
+        "epochs_run": len(res["history"]),
+        "best_mean_val_rel_%": res["best_metric"],
+        "train_wall_s": round(time.time() - t0, 1),
+        "history": res["history"],
+    }
+    for split in ("hard", "easy"):
+        fn = make_device_eval_fn(
+            trainer, store, store.triples(split, "test", cfg_time), mean, std)
+        rec[f"test_{split}"] = fn(trainer.state)
+    out_path.write_text(json.dumps(rec, indent=1))
+    _log(f"{name}: test_hard {rec['test_hard']['median_rel_%']:.2f}% "
+         f"test_easy {rec['test_easy']['median_rel_%']:.2f}% "
+         f"({rec['epochs_run']} epochs, {rec['train_wall_s']}s)")
+    return rec
+
+
+def _loglog_interp(x0: float, xs: np.ndarray, ys: np.ndarray) -> float:
+    """y at x0 on the (xs, ys) curve, linear in log-log space."""
+    lx, ly = np.log(xs), np.log(ys)
+    return float(np.exp(np.interp(np.log(x0), lx, ly)))
+
+
+def analyze(runs: dict, gen_meta: dict, total: int) -> dict:
+    """Iso-error savings: for each mixed alpha, the hard-only generation cost
+    reaching the same test-hard error, over the mixed dataset's cost."""
+    c_h = gen_meta["cost_per_traj_hard_s"]
+    c_e = gen_meta["cost_per_traj_easy_s"]
+
+    ladder = sorted(
+        (r["spec"]["n_hard"], r["test_hard"]["median_rel_%"])
+        for k, r in runs.items() if k.startswith("hardonly_") or k == "alpha_1.0"
+    )
+    ns = np.array([n for n, _ in ladder], float)
+    errs = np.array([e for _, e in ladder], float)
+    # enforce monotone-nonincreasing error for stable inversion (training
+    # noise can locally invert the curve); keep the raw points in the report
+    errs_mono = np.minimum.accumulate(errs)
+
+    out = {"ladder_raw": ladder, "cost_per_traj": {"hard": c_h, "easy": c_e},
+           "alphas": {}}
+    for k, r in sorted(runs.items()):
+        if not k.startswith("alpha_"):
+            continue
+        alpha = float(k.split("_")[1])
+        n_hard, n_easy = r["spec"]["n_hard"], r["spec"]["n_easy"]
+        cost_mix = n_hard * c_h + n_easy * c_e
+        err = r["test_hard"]["median_rel_%"]
+        entry = {
+            "n_hard": n_hard, "n_easy": n_easy, "cost_mixed_s": round(cost_mix, 1),
+            "test_hard_median_rel_%": err,
+            "test_easy_median_rel_%": r["test_easy"]["median_rel_%"],
+        }
+        if err <= errs_mono[-1]:
+            # better than the largest hard-only run: the iso-error hard-only
+            # cost exceeds the ladder -> report a LOWER BOUND, no extrapolation
+            entry["iso_n_hard"] = float(ns[-1])
+            entry["savings_x"] = round(ns[-1] * c_h / cost_mix, 2)
+            entry["savings_is_lower_bound"] = True
+        elif err >= errs_mono[0]:
+            # worse than the smallest hard-only run
+            entry["iso_n_hard"] = float(ns[0])
+            entry["savings_x"] = round(ns[0] * c_h / cost_mix, 2)
+            entry["savings_is_upper_bound"] = True
+        else:
+            # invert the monotone error curve: n at err (log-log)
+            n_iso = _loglog_interp(err, errs_mono[::-1], ns[::-1])
+            entry["iso_n_hard"] = round(n_iso, 1)
+            entry["savings_x"] = round(n_iso * c_h / cost_mix, 2)
+        out["alphas"][f"{alpha:g}"] = entry
+
+    best = max(out["alphas"].items(),
+               key=lambda kv: kv[1]["savings_x"])
+    out["best_alpha"] = float(best[0])
+    out["best_savings_x"] = best[1]["savings_x"]
+    out["total_trajectories"] = total
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--state-dir", default="runs/savings_r4")
+    ap.add_argument("--fast", action="store_true",
+                    help="minutes-scale CPU smoke configuration")
+    ap.add_argument("--n-gen", type=int, default=None,
+                    help="trajectories generated per difficulty")
+    ap.add_argument("--total", type=int, default=None,
+                    help="total training trajectories per mixed run")
+    ap.add_argument("--alphas", default="0.0,0.25,0.5,0.75,1.0")
+    ap.add_argument("--hard-ladder", default="32,64,96,128,192")
+    ap.add_argument("--model-size", default="T")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="epoch CAP; runs early-stop on the val plateau")
+    ap.add_argument("--patience", type=int, default=None)
+    args = ap.parse_args()
+
+    from pregen_pde_tpu.utils.compcache import enable_persistent_cache
+    from pregen_pde_tpu.utils.misc import use_best_backend
+
+    use_best_backend()
+    enable_persistent_cache()
+
+    fast = args.fast
+    n_gen = args.n_gen or (16 if fast else 320)
+    total = args.total or (8 if fast else 256)
+    args.epochs = args.epochs or (2 if fast else 120)
+    args.patience = args.patience or (None if fast else 12)
+    state = Path(args.state_dir)
+    state.mkdir(parents=True, exist_ok=True)
+
+    gen_meta = generate_sets(state, n_gen, fast)
+
+    from pregen_pde_tpu.training.datasets import TimePairConfig, compute_stats
+    from pregen_pde_tpu.training.device_data import DeviceDataStore
+
+    hard = np.load(state / "hard.npy")
+    easy = np.load(state / "easy.npy")
+    t_steps = hard.shape[1] - 1
+    n_tail = max(2, n_gen // 10)
+    cfg_time = TimePairConfig(max_num_time_steps=t_steps,
+                              allowed_transitions=[1],
+                              n_val=n_tail, n_test=n_tail)
+    assert total <= n_gen - 2 * n_tail, (total, n_gen)
+    # shared streaming stats across BOTH difficulties (== `streaming_stats`,
+    # `mixingexp.py:275-296`)
+    mean, std = compute_stats([hard, easy])
+    store = DeviceDataStore({"hard": hard, "easy": easy})
+    del hard, easy
+
+    runs = {}
+    for a in [float(x) for x in args.alphas.split(",")]:
+        n_hard = int(round(a * total))
+        spec = {"n_hard": n_hard, "n_easy": total - n_hard, "alpha": a}
+        runs[f"alpha_{a:g}"] = run_one(f"alpha_{a:g}", spec, store, mean, std,
+                                       cfg_time, args, state)
+    for n in [int(x) for x in args.hard_ladder.split(",") if x]:
+        if n >= total:
+            continue
+        spec = {"n_hard": n, "n_easy": 0, "alpha": None}
+        runs[f"hardonly_{n}"] = run_one(f"hardonly_{n}", spec, store, mean,
+                                        std, cfg_time, args, state)
+
+    result = analyze(runs, gen_meta, total)
+    (state / "savings.json").write_text(json.dumps(result, indent=1))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,16 @@ class ProjectionConfig:
     penalization_eta: float = 1e-3  # Brinkman permeability
     pressure_solver: str = "direct"  # "direct" (DCT eigen-solve) | "cg"
     cg_iters: int = 200
+    # advection scheme — the regular-grid counterpart of icoFoam's LIMITED
+    # second-order `Gauss linearUpwind` divScheme (`fvSchemes:17-40`):
+    # "muscl" (default) = van-Leer-limited MUSCL upwind (2nd order in
+    # smooth regions, TVD at extrema); "upwind2" = unlimited Beam-Warming
+    # (wiggles at the lid corner singularity — measured bounded limit
+    # cycle); "upwind1" = first-order (round ≤3 scheme; its numerical
+    # viscosity ~u·dx/2 swamps the physical ν above Re≈250 at 128² and
+    # fails the Ghia Re=400 / cylinder-Strouhal validation,
+    # tests/test_ns_projection.py).
+    advection: str = "muscl"
 
 
 def parabolic_inlet(n: int, u_max: float) -> np.ndarray:
@@ -115,6 +125,52 @@ class ProjectionSolver:
         bwd = (q - self._shift(q, axis, -1)) / dx
         return jnp.where(vel > 0, bwd, fwd)
 
+    def _grad_upwind2(self, q: jax.Array, vel: jax.Array, axis: int, dx: float):
+        """Second-order upwind (Beam-Warming) derivative, falling back to
+        first order on the two cells nearest each boundary (the edge-
+        replicated double shift would otherwise corrupt the 3-point stencil
+        with a spurious 1.5x factor)."""
+        qm1 = self._shift(q, axis, -1)
+        qp1 = self._shift(q, axis, +1)
+        qm2 = self._shift(qm1, axis, -1)
+        qp2 = self._shift(qp1, axis, +1)
+        bwd1 = (q - qm1) / dx
+        fwd1 = (qp1 - q) / dx
+        bwd2 = (3.0 * q - 4.0 * qm1 + qm2) / (2.0 * dx)
+        fwd2 = (-3.0 * q + 4.0 * qp1 - qp2) / (2.0 * dx)
+        n = q.shape[axis]
+        idx = jax.lax.broadcasted_iota(jnp.int32, q.shape, axis)
+        bwd = jnp.where(idx >= 2, bwd2, bwd1)
+        fwd = jnp.where(idx <= n - 3, fwd2, fwd1)
+        return jnp.where(vel > 0, bwd, fwd)
+
+    def _grad_muscl(self, q: jax.Array, vel: jax.Array, axis: int, dx: float):
+        """Van-Leer-limited MUSCL upwind derivative: face states are
+        reconstructed from limited node slopes, so the scheme is 2nd order
+        where the field is smooth and degrades to 1st-order upwind at
+        extrema/discontinuities (TVD) — no corner wiggles. Edge-replicated
+        shifts make boundary slopes vanish (clean 1st-order fallback)."""
+        a = self._shift(q, axis, +1) - q   # forward difference
+        b = q - self._shift(q, axis, -1)   # backward difference
+        ab = a * b
+        slope = jnp.where(ab > 0, 2.0 * ab / jnp.where(ab > 0, a + b, 1.0), 0.0)
+        s_m1 = self._shift(slope, axis, -1)
+        s_p1 = self._shift(slope, axis, +1)
+        # face-state differences: (q^L_{i+1/2} − q^L_{i−1/2})/dx for flow
+        # from the left, (q^R_{i+1/2} − q^R_{i−1/2})/dx from the right
+        grad_pos = (b + 0.5 * (slope - s_m1)) / dx
+        grad_neg = (a - 0.5 * (s_p1 - slope)) / dx
+        return jnp.where(vel > 0, grad_pos, grad_neg)
+
+    def _grad_adv(self, q, vel, axis, dx):
+        if self.cfg.advection == "muscl":
+            return self._grad_muscl(q, vel, axis, dx)
+        if self.cfg.advection == "upwind2":
+            return self._grad_upwind2(q, vel, axis, dx)
+        if self.cfg.advection == "upwind1":
+            return self._grad_upwind(q, vel, axis, dx)
+        raise ValueError(self.cfg.advection)
+
     def _laplacian(self, q: jax.Array, dx: float):
         return (
             self._shift(q, 0, +1) + self._shift(q, 0, -1)
@@ -123,8 +179,8 @@ class ProjectionSolver:
 
     def predictor(self, u, v, dx, dt):
         cfg = self.cfg
-        adv_u = u * self._grad_upwind(u, u, 1, dx) + v * self._grad_upwind(u, v, 0, dx)
-        adv_v = u * self._grad_upwind(v, u, 1, dx) + v * self._grad_upwind(v, v, 0, dx)
+        adv_u = u * self._grad_adv(u, u, 1, dx) + v * self._grad_adv(u, v, 0, dx)
+        adv_v = u * self._grad_adv(v, u, 1, dx) + v * self._grad_adv(v, v, 0, dx)
         u_star = u + dt * (-adv_u + cfg.viscosity * self._laplacian(u, dx))
         v_star = v + dt * (-adv_v + cfg.viscosity * self._laplacian(v, dx))
         return u_star, v_star

@@ -1,10 +1,14 @@
 """Validation tests for the masked-geometry projection solver: lid-driven
-cavity against Ghia-style behavior, channel flow mass conservation, and
-obstacle penalization (SURVEY.md §7.3(2): validated, not bit-matched)."""
+cavity against the Ghia tables, cylinder vortex-shedding Strouhal/drag,
+grid-convergence order, channel mass conservation, and obstacle
+penalization (SURVEY.md §7.3(2): validated, not bit-matched; the
+quantitative benchmarks replace the reference's body-fitted icoFoam ground
+truth, `FPO_cylinder/Regular/main.py:129-151`)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pregen_pde_tpu.fields.geometry import disk_mask, no_hole_mask
 from pregen_pde_tpu.solvers.ns_projection import (
@@ -86,6 +90,53 @@ def test_batched_masks():
     frames = solver.make_batched_trajectory_fn()(masks)
     assert frames.shape == (2, 3, 32, 32, 3)
     assert bool(jnp.all(jnp.isfinite(frames)))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("re,tol_u,tol_v", [(100, 0.05, 0.03),
+                                            (400, 0.07, 0.06)])
+def test_cavity_ghia_tables(re, tol_u, tol_v):
+    """Steady lid-driven cavity at 128² vs the Ghia-Ghia-Shin (1982)
+    centerline tables: every tabulated station within tol (in lid-speed
+    units; measured muscl devs are 0.028/0.010 at Re=100 and 0.048/0.031
+    at Re=400 — comfortably under the VERDICT's ≤10% bar), extrema within
+    8% relative. The round-3 first-order scheme fails the Re=400 bar
+    (u_min −0.271 vs −0.327, 17% off — measured)."""
+    from pregen_pde_tpu.solvers.validation import run_cavity
+
+    r = run_cavity(re, n=128)
+    assert r["max_abs_dev_u"] < tol_u, r["max_abs_dev_u"]
+    assert r["max_abs_dev_v"] < tol_v, r["max_abs_dev_v"]
+    for key in ("u_min", "v_min", "v_max"):
+        model, ghia = r[f"{key}_model"], r[f"{key}_ghia"]
+        assert abs(model - ghia) <= 0.08 * abs(ghia), (key, model, ghia)
+
+
+@pytest.mark.slow
+def test_cylinder_strouhal_and_drag():
+    """FPO cylinder at Re_d=150 (incident centerline velocity): vortex
+    shedding must be established (probe amplitude ≫ noise), the Strouhal
+    number must land in the literature band (unbounded ≈0.183; measured
+    0.171 at 9% blockage), and the mean drag coefficient near the
+    literature ≈1.3 (measured 1.22). The round-3 first-order scheme
+    measures St=0.129 / amplitude 0.27 — out of band (PERF.md)."""
+    from pregen_pde_tpu.solvers.validation import run_cylinder
+
+    r = run_cylinder(150.0, n=128, t_end=80.0)
+    assert r["shedding_amplitude"] > 0.2, r
+    assert 0.15 < r["strouhal"] < 0.21, r["strouhal"]
+    assert 1.0 < r["cd_mean"] < 1.6, r["cd_mean"]
+
+
+@pytest.mark.slow
+def test_grid_convergence_order():
+    """Richardson triplet on the developing cavity flow: the projection
+    scheme's observed spatial order (2nd-order interior advection/diffusion
+    with 1st-order boundary/penalization treatment → ~1.5 measured)."""
+    from pregen_pde_tpu.solvers.validation import convergence_order
+
+    r = convergence_order(ns=(32, 64, 128))
+    assert r["order"] > 1.3, r
 
 
 def test_direct_pressure_solver_exact():

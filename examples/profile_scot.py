@@ -1,0 +1,140 @@
+"""scOT train-step cost breakdown on chip (VERDICT r3 #5: why is bf16 flat,
+and where does the step go?).
+
+Measures full train steps (fwd+bwd+AdamW, donated state) for an ablation
+matrix around the reference-exact scOT, plus forward-only timings — the
+differences localize the cost between the attention path, the conditional
+layer norms, drop-path/regularization, and the backward pass. Prints one
+JSON line per measurement.
+
+Usage: python examples/profile_scot.py [--size T|B] [--batch 16] [--res 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+
+
+def measure_step(model, batch, res, cin, cout, compute_dtype=None, reps=20,
+                 fwd_only=False, train_flag=True):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pregen_pde_tpu.training.losses import relative_lp_loss
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, res, res, cin)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(batch, res, res, cout)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32))
+    params = jax.jit(lambda k: model.init(k, x, t)["params"])(jax.random.key(0))
+    params = jax.tree_util.tree_map(
+        lambda l: jax.lax.convert_element_type(l, l.dtype), params)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+    cast = ((lambda a: a.astype(compute_dtype)) if compute_dtype
+            else (lambda a: a))
+    drng = jax.random.key(1)
+
+    def apply(p, xx, tt):
+        kw = {}
+        if train_flag:
+            kw = dict(train=True, rngs={"dropout": drng})
+        return model.apply({"params": jax.tree_util.tree_map(cast, p)},
+                           cast(xx), tt, **kw)
+
+    def loss_fn(p):
+        return relative_lp_loss(apply(p, x, t).astype(jnp.float32), y)
+
+    if fwd_only:
+        @jax.jit
+        def step(params, opt_state):
+            return params, opt_state, loss_fn(params)
+    else:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state)
+    jax.device_get(loss)  # sync (block_until_ready is a no-op on the tunnel)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, opt_state, loss = step(params, opt_state)
+    jax.device_get(loss)
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="B")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--cases", default="base_f32,base_bf16,fwd_f32,fwd_bf16,"
+                    "noCondLN_f32,noTrainFlag_f32,window8_f32,remat_f32")
+    args = ap.parse_args()
+
+    from pregen_pde_tpu.utils.compcache import enable_persistent_cache
+    from pregen_pde_tpu.utils.misc import use_best_backend
+
+    use_best_backend()
+    enable_persistent_cache()
+    import jax.numpy as jnp
+
+    from pregen_pde_tpu.models.scot import MODEL_SIZES, ScOT, ScOTConfig
+
+    kw0 = dict(MODEL_SIZES[args.size])
+    cin, cout = 6, 3
+
+    def make(**over):
+        return ScOT(ScOTConfig(image_size=args.res, num_channels=cin,
+                               num_out_channels=cout, **{**kw0, **over}))
+
+    cases = {
+        "base_f32": (make(), None, False, True),
+        "base_bf16": (make(), jnp.bfloat16, False, True),
+        "fwd_f32": (make(), None, True, True),
+        "fwd_bf16": (make(), jnp.bfloat16, True, True),
+        # conditioning off: every ConditionalLayerNorm becomes a plain LN
+        "noCondLN_f32": (make(use_conditioning=False), None, False, True),
+        # train=False: drop-path/dropout branches compiled out
+        "noTrainFlag_f32": (make(), None, False, False),
+        # window 8: attention cost scales ~w^2 per token — localizes the
+        # window-attention share
+        "window8_f32": (make(window_size=8), None, False, True),
+        "remat_f32": ("remat", None, False, True),
+    }
+    want = args.cases.split(",")
+    for name in want:
+        model, dt, fwd, tf = cases[name]
+        if model == "remat":
+            import jax
+
+            base = make()
+
+            class _R:
+                def init(self, *a, **k):
+                    return base.init(*a, **k)
+
+                def apply(self, *a, **k):
+                    return jax.checkpoint(
+                        lambda p, xx, tt: base.apply(p, xx, tt, **k)
+                    )(a[0], a[1], a[2])
+
+            model = _R()
+        ms = measure_step(model, args.batch, args.res, cin, cout,
+                          compute_dtype=dt, reps=args.reps, fwd_only=fwd,
+                          train_flag=tf)
+        print(json.dumps({"case": name, "size": args.size,
+                          "batch": args.batch, "res": args.res,
+                          "ms_per_step": round(ms, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,14 @@ def generate_sets(state: Path, n_gen: int, fast: bool) -> dict:
             n_gen, storage_dtype="float16",
         )
         wall = time.time() - t0
+        # non-finite rows poison the SHARED mixing stats (measured: one bad
+        # hard set NaN'd every alpha run) — the generator retries outlier
+        # geometries at dt/2; anything still bad must fail loudly here
+        finite = np.isfinite(arr.astype(np.float32)).all()
+        if not finite:
+            raise RuntimeError(f"{name}: non-finite trajectories survived "
+                               "the dt/2 retries — investigate before "
+                               "training")
         np.save(state / f"{name}.npy", arr)
         meta[f"gen_{name}_s"] = round(wall, 2)
         meta[f"cost_per_traj_{name}_s"] = round(wall / n_gen, 4)

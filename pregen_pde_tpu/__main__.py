@@ -27,18 +27,26 @@ def _cmd_generate(args):
 
     key = jax.random.key(args.seed)
     start_index = 0
-    if args.resume and args.format == "npy":
-        start_index, n_done = scan_existing_shards(args.out, args.prefix)
+    if args.resume:
+        if args.format == "npy":
+            start_index, n_done = scan_existing_shards(args.out, args.prefix)
+            resume_point = start_index
+        else:  # h5: one growable dataset, batch-flushed — resume by row count
+            from pregen_pde_tpu.datagen.writer import scan_existing_h5
+
+            n_done = scan_existing_h5(args.out, args.prefix)
+            resume_point = n_done
         if n_done >= args.n:
             print(json.dumps({"generated": 0, "already_done": n_done,
                               "out": args.out}), flush=True)
             return
         # fold the resume point into the key: the continuation draws fresh
         # trajectories rather than replaying the crashed batch's stream
-        key = jax.random.fold_in(key, start_index)
+        key = jax.random.fold_in(key, resume_point)
         args.n -= n_done
     writer = ShardWriter(args.out, prefix=args.prefix, fmt=args.format,
-                         dtype=args.storage_dtype, start_index=start_index)
+                         dtype=args.storage_dtype, start_index=start_index,
+                         resume=args.resume)
     if args.workload in ("burgers", "heat", "darcy"):
         done = 0
         while done < args.n:
@@ -92,7 +100,16 @@ def _cmd_generate(args):
             time_scale=args.time_scale,
             max_steps_per_program=args.max_steps_per_program,
         )
-        generate_ns_dataset(key, gen, args.n, writer=writer)
+        # shard the batch axis over every local device (pod-scale path:
+        # BASELINE.md "10k trajectories shard_mapped over v5e-8"); buckets
+        # not divisible by the data axis fall back to single-device inside
+        # `generate_ns_batch.place`
+        mesh = None
+        if len(jax.devices()) > 1:
+            from pregen_pde_tpu.parallel.meshes import make_mesh
+
+            mesh = make_mesh()
+        generate_ns_dataset(key, gen, args.n, writer=writer, mesh=mesh)
     else:
         import jax.numpy as jnp
         from pregen_pde_tpu.datagen.masked_ns import (

@@ -38,12 +38,20 @@ from pregen_pde_tpu.solvers.ns_projection import ProjectionConfig, ProjectionSol
 
 
 def cfl_dt(cfg: "MaskedNSConfig", u_max: float, safety: float = 0.5,
-           speedup: float = 2.0) -> float:
-    # defaults chosen empirically: worst case (Re=10⁴ multi-hole constriction,
-    # observed |u| ≈ 1.7×u_inlet) is stable at dt=0.1, margin ×2 → ~0.05
+           speedup: float | None = None) -> float:
     """Explicit-CFL time step: dt ≤ safety·dx/(speedup·u_max); `speedup`
-    budgets local acceleration around obstacles (channel constriction)."""
+    budgets local acceleration around obstacles (channel constriction).
+
+    Default margin (cfg.cfl_speedup = 3.5) is the measured stability
+    envelope of the default muscl advection on multi-hole geometries at
+    128²: constrictions accelerate the flow ~3× over u_inlet, and the
+    limited 2nd-order scheme (less dissipative than round ≤3's upwind1,
+    which was stable at 2.0) blew up on 91/320 production trajectories at
+    margin 2.0 — all stable at 3.5 (plus the per-bucket dt/2 retry in
+    `generate_masked_ns_batch` for outlier geometries)."""
     dx = cfg.length / cfg.resolution
+    if speedup is None:
+        speedup = cfg.cfl_speedup
     return min(cfg.dt, safety * dx / max(speedup * u_max, 1e-9))
 
 
@@ -66,6 +74,13 @@ class MaskedNSConfig:
     # `Multiple_Hole/main.py:1080-1139`); False = non-overlapping rejection
     hole_overlap: bool = False
     overlap_fraction: float = 0.3
+    # CFL local-acceleration margin (see `cfl_dt`) and the number of
+    # halve-dt retries for trajectories that still go non-finite (outlier
+    # constriction geometries) — the fail-soft story the reference handles
+    # by skip-and-continue (`Regular/main.py:1083-1116`); retrying keeps
+    # the trajectory COUNT exact, which difficulty-mixing splits rely on
+    cfl_speedup: float = 3.5
+    nonfinite_retries: int = 2
 
 
 def sample_masks(key: jax.Array, cfg: MaskedNSConfig, n: int) -> jax.Array:
@@ -169,15 +184,12 @@ def generate_masked_ns_batch(
     # per-batch recompile through the tunnel costs minutes.
     solver = _solver_for(cfg, 1.0, 1.0)
     traj = _batched_traj_cached(solver)
-    for horizon in np.unique(end_t_np):
-        idx_raw = np.nonzero(end_t_np == horizon)[0]
+    def _run(idx_raw: np.ndarray, horizon: float, dt_b: float) -> np.ndarray:
         # pad the bucket to the next power of two: ≤log2(batch) executables
         # total instead of one minutes-scale compile per bucket size
         n_real = len(idx_raw)
         size = 1 << (n_real - 1).bit_length()
         idx = np.concatenate([idx_raw, np.full(size - n_real, idx_raw[0])])
-        # per-bucket CFL-stable dt from the bucket's fastest inlet/lid
-        dt_b = cfl_dt(cfg, float(u_max_np[idx].max()))
         total_steps = int(round(float(horizon) / dt_b))
         inner = max(total_steps // cfg.n_snapshots, 1)
         frames = traj(
@@ -188,7 +200,31 @@ def generate_masked_ns_batch(
         )
         if str(frames.dtype) != storage_dtype:
             frames = frames.astype(storage_dtype)  # cast on device pre-fetch
-        frames = np.asarray(jax.device_get(frames))[:n_real]
+        return np.asarray(jax.device_get(frames))[:n_real]
+
+    for horizon in np.unique(end_t_np):
+        idx_raw = np.nonzero(end_t_np == horizon)[0]
+        # per-bucket CFL-stable dt from the bucket's fastest inlet/lid
+        dt_b = cfl_dt(cfg, float(u_max_np[idx_raw].max()))
+        frames = _run(idx_raw, float(horizon), dt_b)
+        # fail-soft with exact counts: outlier geometries (severe
+        # constrictions) that still blow up retry at dt/2 (same compiled
+        # executable — dt and the trip count are traced scalars)
+        for attempt in range(cfg.nonfinite_retries):
+            finite = np.isfinite(frames).all(axis=tuple(range(1, frames.ndim)))
+            if finite.all():
+                break
+            bad = idx_raw[~finite]
+            dt_b /= 2.0
+            import logging
+
+            logging.getLogger("pregen_pde_tpu.datagen").warning(
+                "masked_ns horizon %s: %d/%d non-finite, retrying at dt=%g "
+                "(attempt %d)", horizon, len(bad), len(idx_raw), dt_b,
+                attempt + 1)
+            if not frames.flags.writeable:  # device_get views are read-only
+                frames = np.array(frames)
+            frames[~finite] = _run(bad, float(horizon), dt_b)
         out[idx_raw, :, :, :, 0:3] = frames
         out[idx_raw, :, :, :, 3] = re_norm_np[idx_raw, None, None, None]
         out[idx_raw, :, :, :, 4] = masks_np[idx_raw, None, :, :]

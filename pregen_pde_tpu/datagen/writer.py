@@ -29,7 +29,8 @@ class ShardWriter:
 
     def __new__(cls, out_dir, prefix: str = "results", fmt: str = "npy",
                 queue_depth: int = 2, backend: str = "auto",
-                dtype: str = "float32", start_index: int = 0):
+                dtype: str = "float32", start_index: int = 0,
+                resume: bool = False):
         # npy shards route to the C++ writer when the toolchain is available
         # (backend="python" forces the pure-Python path; "native" requires
         # it); the C writer is float32-only, so other storage dtypes
@@ -55,6 +56,7 @@ class ShardWriter:
         backend: str = "auto",
         dtype: str = "float32",
         start_index: int = 0,
+        resume: bool = False,
     ):
         if fmt not in ("npy", "h5"):
             raise ValueError(f"unknown format {fmt!r}")
@@ -62,6 +64,9 @@ class ShardWriter:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.prefix = prefix
         self.fmt = fmt
+        # h5: reopen the growable dataset and keep appending (crash/resume
+        # durability is batch-granular — `_h5_append` flushes per batch)
+        self._resume = bool(resume)
         self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._idx = int(start_index)
         self._n_written = 0
@@ -91,18 +96,22 @@ class ShardWriter:
         import h5py
 
         if self._h5 is None:
-            self._h5 = h5py.File(self.out_dir / f"{self.prefix}.h5", "w")
-            self._h5.create_dataset(
-                "data",
-                shape=(0, *arr.shape[1:]),
-                maxshape=(None, *arr.shape[1:]),
-                dtype=arr.dtype,
-                chunks=(1, *arr.shape[1:]),
-            )
+            path = self.out_dir / f"{self.prefix}.h5"
+            mode = "a" if (self._resume and path.exists()) else "w"
+            self._h5 = h5py.File(path, mode)
+            if "data" not in self._h5:
+                self._h5.create_dataset(
+                    "data",
+                    shape=(0, *arr.shape[1:]),
+                    maxshape=(None, *arr.shape[1:]),
+                    dtype=arr.dtype,
+                    chunks=(1, *arr.shape[1:]),
+                )
         ds = self._h5["data"]
         n0 = ds.shape[0]
         ds.resize(n0 + arr.shape[0], axis=0)
         ds[n0:] = arr
+        self._h5.flush()  # batch-granular durability for kill/--resume
 
     def write_batch(self, arr: np.ndarray):
         if self._error is not None:
@@ -139,6 +148,20 @@ def scan_existing_shards(out_dir: str | os.PathLike,
     next_idx = int(files[-1].stem.rsplit("_", 1)[1]) + 1
     n = sum(int(np.load(f, mmap_mode="r").shape[0]) for f in files)
     return next_idx, n
+
+
+def scan_existing_h5(out_dir: str | os.PathLike,
+                     prefix: str = "results") -> int:
+    """Trajectories already persisted in a (possibly interrupted) h5 run —
+    the resume point for `--format h5 --resume`. The per-batch flush in
+    `_h5_append` makes the visible row count batch-consistent."""
+    path = Path(out_dir) / f"{prefix}.h5"
+    if not path.exists():
+        return 0
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return int(f["data"].shape[0]) if "data" in f else 0
 
 
 def load_shards(out_dir: str | os.PathLike, prefix: str = "results") -> np.ndarray:

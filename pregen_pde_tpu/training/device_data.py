@@ -140,7 +140,6 @@ def make_device_eval_fn(trainer, store: DeviceDataStore, triples: np.ndarray,
     reduced on device — a single (M,) fetch per call. Returns
     ``fn(state) -> summary dict`` (same summary as ``Trainer.evaluate``)."""
     gather = make_gather(mean, std, out_channels, time_input)
-    data = store.data
     m_true = len(triples)
     bs = min(batch_size, m_true)
     s = -(-m_true // bs)
@@ -150,8 +149,13 @@ def make_device_eval_fn(trainer, store: DeviceDataStore, triples: np.ndarray,
     p = trainer.cfg.loss_p
     apply_fn = trainer.model.apply
 
+    # `data` and the index table enter as ARGUMENTS, never closure captures —
+    # a captured device array is materialized as an HLO constant at lowering
+    # (the whole multi-GB store baked into every eval executable; measured:
+    # a 2.6 GB captured-constants warning + minutes-long transfers through
+    # the tunnel)
     @jax.jit
-    def eval_all(params):
+    def eval_all(params, data, tri):
         def body(_, ix):
             time, inp, lab = gather(data, ix)
             pred = apply_fn({"params": params}, inp, time).astype(jnp.float32)
@@ -160,10 +164,11 @@ def make_device_eval_fn(trainer, store: DeviceDataStore, triples: np.ndarray,
             den = (jnp.abs(lab) ** p).sum(axes) ** (1.0 / p) + 1e-10
             return None, num / den * 100.0
 
-        _, rel = jax.lax.scan(body, None, tri_dev)
+        _, rel = jax.lax.scan(body, None, tri)
         return rel.reshape(-1)[:m_true]
 
-    return lambda state: summarize_rel_errors(np.asarray(eval_all(state.params)))
+    return lambda state: summarize_rel_errors(
+        np.asarray(eval_all(state.params, store.data, tri_dev)))
 
 
 def fit_resident(trainer, store: DeviceDataStore, train_triples: np.ndarray,

@@ -333,8 +333,22 @@ class Trainer:
 
     def _shard_batch(self, batch: dict) -> dict:
         n_data = int(self.mesh.shape.get("data", 1))
+        n_proc = jax.process_count()
         out = {}
         for k, v in batch.items():
+            if n_proc > 1:
+                # true multi-process DP (≡ torchrun DDP with a per-rank
+                # sampler, `scOT/train.py:123`): each process's loader yields
+                # only its LOCAL batch shard; the global array is assembled
+                # from per-process local data — no host ever materializes the
+                # full batch
+                v = np.asarray(v)
+                assert (v.shape[0] * n_proc) % n_data == 0, (
+                    f"local batch {v.shape[0]} x {n_proc} processes must "
+                    f"divide the mesh data axis {n_data}")
+                out[k] = jax.make_array_from_process_local_data(
+                    batch_sharding(self.mesh, v.ndim), v)
+                continue
             v = jnp.asarray(v)
             if v.shape[0] % n_data == 0:
                 out[k] = jax.device_put(v, batch_sharding(self.mesh, v.ndim))
@@ -356,7 +370,15 @@ class Trainer:
         rel = []
         for batch in loader:
             sb = self._shard_batch(batch)
-            rel.append(np.asarray(eval_step(self.state, sb)))
+            r = eval_step(self.state, sb)
+            if jax.process_count() > 1:
+                # the (B,) errors are globally sharded; gather so every
+                # process reports identical global metrics (≡ Lightning's
+                # sync_dist=True, `CNO_timeModule_CIN.py:968`)
+                from jax.experimental import multihost_utils
+
+                r = multihost_utils.process_allgather(r, tiled=True)
+            rel.append(np.asarray(r))
         return summarize_rel_errors(np.concatenate(rel))
 
     def fit(self, train_loader, val_loaders: dict[str, Any] | None = None,

@@ -1,5 +1,6 @@
 import jax
 import numpy as np
+import pytest
 
 from pregen_pde_tpu.datagen.masked_ns import (
     MaskedNSConfig,
@@ -57,3 +58,37 @@ def test_ldc_and_multi_hole_run():
     assert np.all(np.isfinite(arr2))
     # holes scale with resolution: res//8 = 4 cells at res 32; ≥2 placed
     assert arr2[0, 0, :, :, 4].sum() >= 2 * 4 * 4
+
+
+def test_nonfinite_bucket_retry(monkeypatch):
+    """Outlier-geometry fail-soft: trajectories that come back non-finite
+    re-run at dt/2 (same executable, traced dt) so the trajectory COUNT
+    stays exact — 91/320 production multi-hole trajectories needed this
+    when the muscl scheme landed (the old path silently wrote NaNs that
+    poisoned the shared mixing stats downstream)."""
+    import jax.numpy as jnp
+
+    from pregen_pde_tpu.datagen import masked_ns
+
+    calls = {"n": 0, "dts": []}
+
+    def fake_cached(solver):
+        def traj(masks, u_max, inner, dt):
+            calls["n"] += 1
+            calls["dts"].append(float(dt))
+            b = masks.shape[0]
+            out = jnp.ones((b, 3, masks.shape[1], masks.shape[2], 3))
+            if calls["n"] == 1:  # first bucket call: poison one row
+                out = out.at[0].set(jnp.nan)
+            return out
+
+        return traj
+
+    monkeypatch.setattr(masked_ns, "_batched_traj_cached", fake_cached)
+    cfg = masked_ns.MaskedNSConfig(pipeline="fpo_regular", resolution=16,
+                                   n_snapshots=2, time_scale=1e-4,
+                                   re_std=0.0)  # one horizon bucket
+    out = masked_ns.generate_masked_ns_batch(jax.random.key(0), cfg, 4)
+    assert np.isfinite(out).all()
+    assert calls["n"] == 2  # one retry
+    assert calls["dts"][1] == pytest.approx(calls["dts"][0] / 2.0)

@@ -1657,3 +1657,237 @@ def test_scot_adamw_step_matches_reference_param_groups():
     err = _max_rel_err(jax.tree_util.tree_leaves(d_ours),
                        jax.tree_util.tree_leaves(d_ref))
     assert err < 2e-3, err
+
+
+def test_cno_loss_curve_matches_reference_30_steps():
+    """N-step LOSS-CURVE oracle (VERDICT r3 #7): 30 full optimizer steps —
+    real computed gradients, cosine schedule, global-norm clip — through the
+    reference torch stack (AdamW + CosineAnnealingLR + clip_grad_norm_, the
+    Lightning configuration `CNO_timeModule_CIN.py:972-1014`) vs THIS
+    framework's actual `Trainer.fit` loop on transplanted weights and
+    identical batches. Pins everything the 2-step delta oracle above cannot:
+    schedule stepping alignment, clip/schedule interaction over time, and
+    loss-trajectory equivalence of the whole loop."""
+    ref = _import_cno_model()
+    torch.manual_seed(0)
+    nl, n_res, n_res_neck, mult = 2, 1, 2, 8
+    tm = ref.CNO_time(
+        in_dim=6, in_size=16, N_layers=nl, N_res=n_res,
+        N_res_neck=n_res_neck, channel_multiplier=mult,
+        latent_lift_proj_dim=8, out_dim=3, batch_norm=1,
+        is_time=1, nl_dim=[2, 3], activation="cno_lrelu",
+    ).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(7)
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+    sd0 = {k: _t2n(v).copy() for k, v in tm.state_dict().items()}
+
+    # 3 fixed batches cycled over 30 steps
+    rng = np.random.default_rng(8)
+    batches = [
+        (rng.normal(size=(2, 16, 16, 6)).astype(np.float32),
+         rng.uniform(0.1, 1.0, size=(2,)).astype(np.float32),
+         rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+        for _ in range(3)
+    ]
+    n_steps, lr, wd, clip = 30, 1e-3, 1e-2, 5.0
+
+    # --- torch loop ---------------------------------------------------------
+    import torch.nn as tnn
+
+    opt = torch.optim.AdamW(tm.parameters(), lr=lr, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=n_steps,
+                                                       eta_min=0.0)
+    losses_ref = []
+    for step in range(n_steps):
+        x, t, lab = batches[step % 3]
+        opt.zero_grad()
+        pred = tm(_nchw(x), torch.from_numpy(t))
+        tlab = _nchw(lab)
+        # the reference training loss: GLOBAL mean-ratio relative L1
+        # (`CNO_timeModule_CIN.py:938-939`)
+        loss = tnn.L1Loss()(tlab, pred) / tnn.L1Loss()(
+            torch.zeros_like(tlab), tlab)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), clip)
+        opt.step()
+        sched.step()
+        losses_ref.append(float(loss.detach()))
+
+    # --- our Trainer loop ----------------------------------------------------
+    from pregen_pde_tpu.compat import import_cno_state_dict
+    from pregen_pde_tpu.models.cno import CNO
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    ours = CNO(in_size=16, out_dim=3, n_layers=nl, n_res=n_res,
+               n_res_neck=n_res_neck, channel_multiplier=mult,
+               latent_lift_proj_dim=8, use_time=True, norm="instance")
+
+    def global_rel_l1(pred, lab):
+        return jnp.abs(pred - lab).mean() / jnp.abs(lab).mean()
+
+    class _CycleLoader:
+        """One batch per epoch -> Trainer history carries per-STEP losses."""
+
+        def __init__(self):
+            self.i = 0
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            x, t, lab = batches[self.i % 3]
+            self.i += 1
+            yield {"input": x, "time": t, "label": lab}
+
+    trainer = Trainer(ours, TrainerConfig(
+        learning_rate=lr, weight_decay=wd, grad_clip=clip, schedule="cosine",
+        epochs=n_steps, batch_size=2, early_stop_patience=None,
+        decay_mask_mode="all",
+    ), loss_fn=global_rel_l1)
+    loader = _CycleLoader()
+    trainer.init_state(next(iter(loader)), steps_per_epoch=1)
+    loader.i = 0
+    trainer.state = trainer.state.replace(params=import_cno_state_dict(
+        sd0, n_layers=nl, n_res=n_res, n_res_neck=n_res_neck))
+    res = trainer.fit(loader)
+    losses_ours = [r["train_loss"] for r in res["history"]]
+
+    assert len(losses_ours) == n_steps
+    ref_arr, ours_arr = np.asarray(losses_ref), np.asarray(losses_ours)
+    rel = np.abs(ours_arr - ref_arr) / np.abs(ref_arr)
+    # identical math up to f32 roundoff; trajectory divergence compounds
+    assert rel[0] < 1e-4, (ours_arr[0], ref_arr[0])
+    assert rel.max() < 5e-3, (rel.max(), rel.argmax())
+    # and the loop actually trains
+    assert ours_arr[-1] < ours_arr[0]
+
+
+def test_scot_loss_curve_matches_reference_25_steps():
+    """scOT N-step loss-curve oracle: 25 steps with real gradients through
+    the ACTUAL reference Trainer's 4-group `create_optimizer`
+    (`scOT/trainer.py:77-227`) + HF cosine schedule + clip, vs our
+    `Trainer.fit` with `scot_main_tiers` — the per-group schedule/decay
+    machinery exercised over a full trajectory, not two steps."""
+    sys.path.insert(0, POS)
+    try:
+        ref = importlib.import_module("scOT.model")
+        ref_tr = importlib.import_module("scOT.trainer")
+    finally:
+        sys.path.remove(POS)
+
+    torch.manual_seed(0)
+    tcfg = ref.ScOTConfig(
+        image_size=32, patch_size=4, num_channels=4, num_out_channels=3,
+        embed_dim=8, depths=[2, 2], num_heads=[2, 2], skip_connections=[1, 0],
+        window_size=4, mlp_ratio=4.0, qkv_bias=True,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0, use_absolute_embeddings=False,
+        layer_norm_eps=1e-5, p=1, channel_slice_list_normalized_loss=None,
+        residual_model="convnext", use_conditioning=True, learn_residual=False,
+    )
+    tm = ref.ScOT(tcfg).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(11)
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+    sd0 = {k: _t2n(v).copy() for k, v in tm.state_dict().items()}
+
+    rng = np.random.default_rng(12)
+    batches = [
+        (rng.normal(size=(2, 32, 32, 4)).astype(np.float32),
+         rng.uniform(0.1, 1.0, size=(2,)).astype(np.float32),
+         rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        for _ in range(2)
+    ]
+    n_steps, clip = 25, 5.0
+    lrs = (1e-3, 3e-3, 1e-2)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        targs = ref_tr.TrainingArguments(
+            output_dir=td, learning_rate=lrs[0], weight_decay=0.05,
+            learning_rate_embedding_recovery=lrs[1],
+            learning_rate_time_embedding=lrs[2],
+            adam_beta1=0.9, adam_beta2=0.999, adam_epsilon=1e-8,
+            report_to=[], use_cpu=True,
+        )
+        trainer_ref = ref_tr.Trainer(model=tm, args=targs)
+        from transformers.trainer_pt_utils import get_parameter_names as _gpn
+
+        import torch.nn as _tnn
+
+        trainer_ref.get_decay_parameter_names = lambda model: [
+            n for n in _gpn(model, [_tnn.LayerNorm]) if "bias" not in n
+        ]
+        opt = trainer_ref.create_optimizer()
+    from transformers import get_cosine_schedule_with_warmup
+
+    sched = get_cosine_schedule_with_warmup(opt, 0, n_steps)
+
+    def rel_l1_torch(pred, lab):
+        num = (pred - lab).abs().sum(dim=(1, 2, 3))
+        den = lab.abs().sum(dim=(1, 2, 3)) + 1e-10
+        return (num / den).mean()
+
+    losses_ref = []
+    for step in range(n_steps):
+        x, t, lab = batches[step % 2]
+        opt.zero_grad()
+        pred = tm(pixel_values=_nchw(x), time=torch.from_numpy(t)).output
+        loss = rel_l1_torch(pred, _nchw(lab))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), clip)
+        opt.step()
+        sched.step()
+        losses_ref.append(float(loss.detach()))
+
+    # --- ours -----------------------------------------------------------------
+    from pregen_pde_tpu.compat import import_scot_state_dict
+    from pregen_pde_tpu.models.scot import ScOT, ScOTConfig
+    from pregen_pde_tpu.training.tiers import (
+        SCOT_TIER_DECAY,
+        scot_main_tier_fn,
+        scot_main_tiers,
+    )
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    ours = ScOT(ScOTConfig(
+        image_size=32, patch_size=4, num_channels=4, num_out_channels=3,
+        embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+        skip_connections=(1, 0), window_size=4, use_conditioning=True,
+        learn_residual=False, drop_path_rate=0.0,
+    ))
+
+    class _CycleLoader:
+        def __init__(self):
+            self.i = 0
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            x, t, lab = batches[self.i % 2]
+            self.i += 1
+            yield {"input": x, "time": t, "label": lab}
+
+    trainer = Trainer(ours, TrainerConfig(
+        learning_rate=lrs[0], weight_decay=0.05, grad_clip=clip,
+        schedule="cosine", epochs=n_steps, batch_size=2,
+        early_stop_patience=None, lr_tiers=scot_main_tiers(*lrs),
+    ), tier_fn=scot_main_tier_fn, tier_decay=SCOT_TIER_DECAY)
+    loader = _CycleLoader()
+    trainer.init_state(next(iter(loader)), steps_per_epoch=1)
+    loader.i = 0
+    trainer.state = trainer.state.replace(
+        params=import_scot_state_dict(sd0, ours.config))
+    res = trainer.fit(loader)
+    losses_ours = [r["train_loss"] for r in res["history"]]
+
+    ref_arr, ours_arr = np.asarray(losses_ref), np.asarray(losses_ours)
+    rel = np.abs(ours_arr - ref_arr) / np.abs(ref_arr)
+    assert rel[0] < 1e-4, (ours_arr[0], ref_arr[0])
+    assert rel.max() < 5e-3, (rel.max(), rel.argmax())
+    assert ours_arr[-1] < ours_arr[0]

@@ -171,9 +171,11 @@ def analyze(runs: dict, gen_meta: dict, total: int) -> dict:
     c_h = gen_meta["cost_per_traj_hard_s"]
     c_e = gen_meta["cost_per_traj_easy_s"]
 
+    # hard-only error-vs-size curve: the dedicated ladder runs plus the
+    # alpha=1 mixed run (spec n_easy == 0 selects both)
     ladder = sorted(
         (r["spec"]["n_hard"], r["test_hard"]["median_rel_%"])
-        for k, r in runs.items() if k.startswith("hardonly_") or k == "alpha_1.0"
+        for r in runs.values() if r["spec"]["n_easy"] == 0
     )
     ns = np.array([n for n, _ in ladder], float)
     errs = np.array([e for _, e in ladder], float)

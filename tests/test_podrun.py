@@ -29,7 +29,7 @@ def _cli(outdir, resume=False):
         "from pregen_pde_tpu.__main__ import main;"
         f"sys.argv=['p','generate','--workload','ns_spectral','--n','{N_TRAJ}',"
         f"'--out',{str(outdir)!r},'--resolution','{RES}','--batch-size','{BS}',"
-        "'--format','h5','--time-scale','1e-3'" + (",'--resume'" if resume else "")
+        "'--format','h5','--time-scale','2e-4'" + (",'--resume'" if resume else "")
         + "];main()")]
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
@@ -51,17 +51,27 @@ def _h5_rows(path):
         return 0  # writer currently holds it
 
 
+def _h5_size(path):
+    """Kill trigger: h5py's file lock blocks readers while the writer is
+    alive, but each batch flush grows the file — size is the observable."""
+    try:
+        return path.stat().st_size
+    except OSError:
+        return 0
+
+
 @pytest.mark.slow
 def test_podrun_kill_resume_contract(tmp_path):
     h5 = tmp_path / "results.h5"
 
     # run 1: kill hard once the first batches are durably flushed
+    batch_bytes = BS * 21 * RES * RES * 6 * 4
     p = _cli(tmp_path)
     deadline = time.time() + 900
-    rows = 0
+    size = 0
     while time.time() < deadline:
-        rows = _h5_rows(h5)
-        if rows >= BS:
+        size = _h5_size(h5)
+        if size >= batch_bytes:
             break
         if p.poll() is not None:
             break
@@ -69,8 +79,9 @@ def test_podrun_kill_resume_contract(tmp_path):
     if p.poll() is None:
         os.kill(p.pid, signal.SIGKILL)
         p.wait()
-        assert rows >= BS, f"never saw a flushed batch ({rows} rows)"
+        assert size >= batch_bytes, f"never saw a flushed batch ({size} B)"
         killed_rows = _h5_rows(h5)
+        assert killed_rows % BS == 0, killed_rows  # batch-granular durability
         if not (0 < killed_rows < N_TRAJ):
             pytest.skip(f"all {killed_rows} rows flushed before the kill "
                         "(machine too fast for the race window)")
@@ -79,7 +90,7 @@ def test_podrun_kill_resume_contract(tmp_path):
 
     # run 2: --resume completes the dataset
     p2 = _cli(tmp_path, resume=True)
-    out, _ = p2.communicate(timeout=600)
+    out, _ = p2.communicate(timeout=1200)
     assert p2.returncode == 0, out[-3000:]
 
     import h5py

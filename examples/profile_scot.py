@@ -77,7 +77,8 @@ def main():
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--cases", default="base_f32,base_bf16,fwd_f32,fwd_bf16,"
-                    "noCondLN_f32,noTrainFlag_f32,window8_f32,remat_f32")
+                    "noCondLN_f32,noTrainFlag_f32,window8_f32,remat_f32,"
+                    "fused_f32,fused_bf16")
     args = ap.parse_args()
 
     from pregen_pde_tpu.utils.compcache import enable_persistent_cache
@@ -109,6 +110,10 @@ def main():
         # window-attention share
         "window8_f32": (make(window_size=8), None, False, True),
         "remat_f32": ("remat", None, False, True),
+        # Pallas VMEM-resident window attention (ops/window_attention.py)
+        "fused_f32": (make(attention_impl="fused"), None, False, True),
+        "fused_bf16": (make(attention_impl="fused"), jnp.bfloat16, False, True),
+        "fused_fwd_f32": (make(attention_impl="fused"), None, True, True),
     }
     want = args.cases.split(",")
     for name in want:

@@ -98,6 +98,12 @@ class ScOTConfig:
     # at a different window size keeps its pretrained relative-position
     # geometry. (0, 0, 0, 0) ≡ the reference default.
     pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
+    # attention lowering: "xla" (einsum chain), "fused" (Pallas VMEM-resident
+    # window attention, `ops/window_attention.py`), or "auto" (fused on TPU,
+    # xla elsewhere). Numerics-preserving — same matmul/softmax order; the
+    # fused path skips the HBM round trips of the (nb, h, n, n) attention
+    # tensor that dominate the train step at reference scales (PERF.md).
+    attention_impl: str = "auto"
 
 
 MODEL_SIZES = {
@@ -167,6 +173,7 @@ class WindowAttentionV2(nn.Module):
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
     pretrained_window_size: int = 0
+    impl: str = "auto"  # "auto" | "xla" | "fused" (see ScOTConfig)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -180,14 +187,7 @@ class WindowAttentionV2(nn.Module):
         q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=_REF_INIT, name="query")(x)
         k = nn.Dense(c, use_bias=False, kernel_init=_REF_INIT, name="key")(x)
         v = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=_REF_INIT, name="value")(x)
-        q = q.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
 
-        # cosine attention
-        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
-        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         # NOTE: the fill value must be strong-typed — a python-float fill
         # makes the param weak_type, and a weak param re-traces the whole
         # train step twice (param then optimizer state flip to strong after
@@ -198,7 +198,6 @@ class WindowAttentionV2(nn.Module):
             (h, 1, 1),
         )
         scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
-        attn = attn * scale
 
         # continuous relative position bias (log-spaced coords → MLP → 16σ);
         # normalized by (pretrained_window − 1) when fine-tuning from a model
@@ -221,16 +220,53 @@ class WindowAttentionV2(nn.Module):
         rel = rel + (ws - 1)
         rel_index = (rel[0] * (2 * ws - 1) + rel[1]).reshape(-1)
         bias = cpb[jnp.asarray(rel_index)].reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn + 16.0 * jax.nn.sigmoid(bias)[None]
+        bias16 = 16.0 * jax.nn.sigmoid(bias)  # (h, n, n)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
-            attn = attn.reshape(nb, h, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+        dropout_active = self.attn_dropout > 0.0 and not deterministic
+        # "auto" picks the Pallas kernel only single-device: a pallas_call
+        # inside a jit over a sharded batch can't be auto-partitioned by XLA
+        # SPMD (multi-chip DP keeps the einsum path; under an explicit
+        # shard_map, set attention_impl="fused" — per-shard it is fine).
+        use_fused = not dropout_active and (
+            self.impl == "fused"
+            or (self.impl == "auto" and jax.default_backend() == "tpu"
+                and jax.device_count() == 1)
+        )
+        if use_fused:
+            from pregen_pde_tpu.ops.window_attention import window_attention
+
+            # heads stay folded in the channel (lane) dim: normalize per
+            # head and fold the per-head logit scale into q, so the kernel
+            # computes plain q·kᵀ + bias
+            qh = q.reshape(nb, n, h, hd)
+            kh = k.reshape(nb, n, h, hd)
+            qh = qh / (jnp.linalg.norm(qh, axis=-1, keepdims=True) + 1e-6)
+            kh = kh / (jnp.linalg.norm(kh, axis=-1, keepdims=True) + 1e-6)
+            qh = qh * scale.reshape(1, 1, h, 1).astype(qh.dtype)
+            total_bias = (bias16[None] if mask is None
+                          else bias16[None] + mask[:, None])  # (nw, h, n, n)
+            out = window_attention(qh.reshape(nb, n, c),
+                                   kh.reshape(nb, n, c), v, total_bias)
+        else:
+            q = q.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
+
+            # cosine attention
+            q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
+            k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+            attn = attn * scale
+            attn = attn + bias16[None]
+
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
+                attn = attn.reshape(nb, h, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
         out = nn.Dense(c, kernel_init=_REF_INIT, name="proj")(out)
         return nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
 
@@ -276,6 +312,7 @@ class SwinLayerV2(nn.Module):
     hidden_dropout: float = 0.0
     attn_dropout: float = 0.0
     pretrained_window_size: int = 0
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array | None,
@@ -296,6 +333,7 @@ class SwinLayerV2(nn.Module):
             qkv_bias=self.qkv_bias, attn_dropout=self.attn_dropout,
             proj_dropout=self.hidden_dropout,
             pretrained_window_size=self.pretrained_window_size,
+            impl=self.attention_impl,
             name="attention",
         )(wins, mask, deterministic)
         x = _window_reverse(wins, ws, h, w)
@@ -531,6 +569,7 @@ class ScOT(nn.Module):
                     hidden_dropout=cfg.hidden_dropout_prob,
                     attn_dropout=cfg.attention_probs_dropout_prob,
                     pretrained_window_size=cfg.pretrained_window_sizes[i],
+                    attention_impl=cfg.attention_impl,
                     name=f"enc_{i}_blk_{d}",
                 )(x, time, det)
             skips.append(x)
@@ -566,6 +605,7 @@ class ScOT(nn.Module):
                     hidden_dropout=cfg.hidden_dropout_prob,
                     attn_dropout=cfg.attention_probs_dropout_prob,
                     pretrained_window_size=cfg.pretrained_window_sizes[i],
+                    attention_impl=cfg.attention_impl,
                     name=f"dec_{i}_blk_{d}",
                 )(x, time, det)
             if i > 0:

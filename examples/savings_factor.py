@@ -51,9 +51,18 @@ def _log(msg: str):
     print(f"[savings {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def generate_sets(state: Path, n_gen: int, fast: bool) -> dict:
-    """Generate (or load) the hard/easy trajectory sets; returns metadata
-    with per-difficulty wall-clock generation cost."""
+DEFAULT_TIERS = (("hard", "fpo_multi_hole", 0), ("easy", "fpo_regular", 1))
+# the reference's protocol is LOW + MEDIUM + HIGH (`README.md:41`); medium =
+# single random hole (`Hole_Location/main.py` == `fpo_hole`)
+MEDIUM_TIER = ("medium", "fpo_hole", 2)
+
+
+def generate_sets(state: Path, n_gen: int, fast: bool,
+                  tiers=DEFAULT_TIERS) -> dict:
+    """Generate (or load) the per-tier trajectory sets; returns metadata
+    with per-difficulty wall-clock generation cost. Incremental: tiers
+    already on disk (with their cost recorded) are kept untouched, so a
+    later 3-tier run extends a finished 2-tier state dir."""
     import jax
 
     from pregen_pde_tpu.datagen.masked_ns import (
@@ -62,9 +71,8 @@ def generate_sets(state: Path, n_gen: int, fast: bool) -> dict:
     )
 
     meta_path = state / "gen_meta.json"
-    if meta_path.exists():
-        return json.loads(meta_path.read_text())
-    res = 32 if fast else 128
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    res = meta.get("resolution", 32 if fast else 128)
     gen_kw = dict(
         resolution=res,
         dt=0.05 if fast else 0.2,
@@ -72,9 +80,12 @@ def generate_sets(state: Path, n_gen: int, fast: bool) -> dict:
         time_scale=2e-4 if fast else 1.0,
         cg_iters=60 if fast else 150,
     )
-    meta = {"n_gen": n_gen, "resolution": res}
-    for name, pipeline, seed in (("hard", "fpo_multi_hole", 0),
-                                 ("easy", "fpo_regular", 1)):
+    meta.setdefault("n_gen", n_gen)
+    meta.setdefault("resolution", res)
+    for name, pipeline, seed in tiers:
+        if (state / f"{name}.npy").exists() and \
+                f"cost_per_traj_{name}_s" in meta:
+            continue
         t0 = time.time()
         arr = generate_masked_ns_batch(
             jax.random.key(seed), MaskedNSConfig(pipeline=pipeline, **gen_kw),
@@ -93,6 +104,7 @@ def generate_sets(state: Path, n_gen: int, fast: bool) -> dict:
         meta[f"gen_{name}_s"] = round(wall, 2)
         meta[f"cost_per_traj_{name}_s"] = round(wall / n_gen, 4)
         _log(f"generated {name}: {n_gen} traj in {wall:.1f}s")
+        meta_path.write_text(json.dumps(meta, indent=1))
     meta_path.write_text(json.dumps(meta, indent=1))
     return meta
 
@@ -120,13 +132,14 @@ def run_one(name: str, spec: dict, store, mean, std, cfg_time, args,
     )
     from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
 
-    n_hard, n_easy = spec["n_hard"], spec["n_easy"]
     tris = []
-    if n_hard:
-        tris.append(store.triples("hard", "train", cfg_time, n_hard))
-    if n_easy:
-        tris.append(store.triples("easy", "train", cfg_time, n_easy))
+    for tier in ("hard", "medium", "easy"):
+        n = spec.get(f"n_{tier}", 0) or 0
+        if n:
+            tris.append(store.triples(tier, "train", cfg_time, n))
     train_tri = np.concatenate(tris)
+    # val criterion is vh+ve for EVERY run (incl. 3-tier) so early stopping
+    # and the iso-error comparison share one plateau definition
     val_tri = {"vh": store.triples("hard", "val", cfg_time),
                "ve": store.triples("easy", "val", cfg_time)}
 
@@ -148,7 +161,7 @@ def run_one(name: str, spec: dict, store, mean, std, cfg_time, args,
         "train_wall_s": round(time.time() - t0, 1),
         "history": res["history"],
     }
-    for split in ("hard", "easy"):
+    for split in store.n:
         fn = make_device_eval_fn(
             trainer, store, store.triples(split, "test", cfg_time), mean, std)
         rec[f"test_{split}"] = fn(trainer.state)
@@ -166,16 +179,21 @@ def _loglog_interp(x0: float, xs: np.ndarray, ys: np.ndarray) -> float:
 
 
 def analyze(runs: dict, gen_meta: dict, total: int) -> dict:
-    """Iso-error savings: for each mixed alpha, the hard-only generation cost
+    """Iso-error savings: for each mixed run, the hard-only generation cost
     reaching the same test-hard error, over the mixed dataset's cost."""
     c_h = gen_meta["cost_per_traj_hard_s"]
     c_e = gen_meta["cost_per_traj_easy_s"]
+    c_m = gen_meta.get("cost_per_traj_medium_s", 0.0)
 
     # hard-only error-vs-size curve: the dedicated ladder runs plus the
-    # alpha=1 mixed run (spec n_easy == 0 selects both)
+    # alpha=1 mixed run (spec: only n_hard nonzero selects both)
+    def _n(r, tier):
+        return r["spec"].get(f"n_{tier}", 0) or 0
+
     ladder = sorted(
-        (r["spec"]["n_hard"], r["test_hard"]["median_rel_%"])
-        for r in runs.values() if r["spec"]["n_easy"] == 0
+        (_n(r, "hard"), r["test_hard"]["median_rel_%"])
+        for r in runs.values()
+        if _n(r, "easy") == 0 and _n(r, "medium") == 0
     )
     ns = np.array([n for n, _ in ladder], float)
     errs = np.array([e for _, e in ladder], float)
@@ -183,20 +201,21 @@ def analyze(runs: dict, gen_meta: dict, total: int) -> dict:
     # noise can locally invert the curve); keep the raw points in the report
     errs_mono = np.minimum.accumulate(errs)
 
-    out = {"ladder_raw": ladder, "cost_per_traj": {"hard": c_h, "easy": c_e},
-           "alphas": {}}
-    for k, r in sorted(runs.items()):
-        if not k.startswith("alpha_"):
-            continue
-        alpha = float(k.split("_")[1])
-        n_hard, n_easy = r["spec"]["n_hard"], r["spec"]["n_easy"]
-        cost_mix = n_hard * c_h + n_easy * c_e
+    def iso_entry(r):
+        n_hard, n_med, n_easy = (_n(r, t) for t in ("hard", "medium", "easy"))
+        cost_mix = n_hard * c_h + n_med * c_m + n_easy * c_e
         err = r["test_hard"]["median_rel_%"]
         entry = {
-            "n_hard": n_hard, "n_easy": n_easy, "cost_mixed_s": round(cost_mix, 1),
+            "n_hard": n_hard, "n_easy": n_easy,
+            "cost_mixed_s": round(cost_mix, 1),
             "test_hard_median_rel_%": err,
             "test_easy_median_rel_%": r["test_easy"]["median_rel_%"],
         }
+        if n_med:
+            entry["n_medium"] = n_med
+        if "test_medium" in r:
+            entry["test_medium_median_rel_%"] = \
+                r["test_medium"]["median_rel_%"]
         if err <= errs_mono[-1]:
             # better than the largest hard-only run: the iso-error hard-only
             # cost exceeds the ladder -> report a LOWER BOUND, no extrapolation
@@ -213,11 +232,22 @@ def analyze(runs: dict, gen_meta: dict, total: int) -> dict:
             n_iso = _loglog_interp(err, errs_mono[::-1], ns[::-1])
             entry["iso_n_hard"] = round(n_iso, 1)
             entry["savings_x"] = round(n_iso * c_h / cost_mix, 2)
-        out["alphas"][f"{alpha:g}"] = entry
+        return entry
 
-    best = max(out["alphas"].items(),
-               key=lambda kv: kv[1]["savings_x"])
-    out["best_alpha"] = float(best[0])
+    out = {"ladder_raw": ladder,
+           "cost_per_traj": {"hard": c_h, "easy": c_e},
+           "alphas": {}}
+    if c_m:
+        out["cost_per_traj"]["medium"] = c_m
+    for k, r in sorted(runs.items()):
+        if k.startswith("alpha_"):
+            out["alphas"][f"{float(k.split('_')[1]):g}"] = iso_entry(r)
+        elif k.startswith("trimix_"):
+            out.setdefault("trimix", {})[k[len("trimix_"):]] = iso_entry(r)
+
+    pool = {**out["alphas"], **out.get("trimix", {})}
+    best = max(pool.items(), key=lambda kv: kv[1]["savings_x"])
+    out["best_mix"] = best[0]
     out["best_savings_x"] = best[1]["savings_x"]
     out["total_trajectories"] = total
     return out
@@ -234,6 +264,11 @@ def main():
                     help="total training trajectories per mixed run")
     ap.add_argument("--alphas", default="0.0,0.25,0.5,0.75,1.0")
     ap.add_argument("--hard-ladder", default="32,64,96,128,192")
+    ap.add_argument("--trimix", default="",
+                    help="comma list of hard:medium:easy trajectory counts "
+                    "(the reference's LOW+MEDIUM+HIGH recipe, README.md:41); "
+                    "e.g. 64:128:64,0:256:0. Adds the `fpo_hole` medium "
+                    "tier to the state dir on first use.")
     ap.add_argument("--model-size", default="T")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=None,
@@ -255,7 +290,9 @@ def main():
     state = Path(args.state_dir)
     state.mkdir(parents=True, exist_ok=True)
 
-    gen_meta = generate_sets(state, n_gen, fast)
+    trimix = [s for s in args.trimix.split(",") if s]
+    tiers = list(DEFAULT_TIERS) + ([MEDIUM_TIER] if trimix else [])
+    gen_meta = generate_sets(state, n_gen, fast, tiers)
 
     from pregen_pde_tpu.training.datasets import TimePairConfig, compute_stats
     from pregen_pde_tpu.training.device_data import DeviceDataStore
@@ -269,10 +306,15 @@ def main():
                               n_val=n_tail, n_test=n_tail)
     assert total <= n_gen - 2 * n_tail, (total, n_gen)
     # shared streaming stats across BOTH difficulties (== `streaming_stats`,
-    # `mixingexp.py:275-296`)
+    # `mixingexp.py:275-296`). Stats stay pinned to the 2-tier pools even
+    # when medium is added later, so every cached run (ladder, alpha grid,
+    # trimix) shares one normalization and the iso-error inversion is valid.
     mean, std = compute_stats([hard, easy])
-    store = DeviceDataStore({"hard": hard, "easy": easy})
-    del hard, easy
+    arrays = {"hard": hard, "easy": easy}
+    if trimix:
+        arrays["medium"] = np.load(state / "medium.npy")
+    store = DeviceDataStore(arrays)
+    del hard, easy, arrays
 
     runs = {}
     for a in [float(x) for x in args.alphas.split(",")]:
@@ -286,6 +328,12 @@ def main():
         spec = {"n_hard": n, "n_easy": 0, "alpha": None}
         runs[f"hardonly_{n}"] = run_one(f"hardonly_{n}", spec, store, mean,
                                         std, cfg_time, args, state)
+    for comp in trimix:
+        nh, nm, ne = (int(x) for x in comp.split(":"))
+        name = f"trimix_{nh}_{nm}_{ne}"
+        spec = {"n_hard": nh, "n_medium": nm, "n_easy": ne, "alpha": None}
+        runs[name] = run_one(name, spec, store, mean, std, cfg_time, args,
+                             state)
 
     result = analyze(runs, gen_meta, total)
     (state / "savings.json").write_text(json.dumps(result, indent=1))

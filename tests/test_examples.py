@@ -35,7 +35,7 @@ run_example("mixing_experiment",
 run_example("savings_factor",
             ["--fast", "--state-dir", state, "--n-gen", "12", "--total", "6",
              "--alphas", "0.0,1.0", "--hard-ladder", "2,4",
-             "--batch-size", "2"])
+             "--trimix", "2:2:2", "--batch-size", "2"])
 run_example("measure_tier_error",
             ["1", "--resolution", "128", "--t-end", "0.004",
              "--snapshots", "2"])
@@ -62,6 +62,12 @@ def test_examples_smoke(tmp_path):
     assert set(res["alphas"]) == {"0", "1"}
     for entry in res["alphas"].values():
         assert entry["savings_x"] > 0
+    # 3-tier composition (LOW+MEDIUM+HIGH): medium cost recorded, medium
+    # test metric evaluated, iso-error entry produced
+    tri = res["trimix"]["2_2_2"]
+    assert tri["n_medium"] == 2 and tri["savings_x"] > 0
+    assert "test_medium_median_rel_%" in tri
+    assert "medium" in res["cost_per_traj"]
     # tier-error output: high/exact ran through the interpreter
     tier_line = [l for l in out.splitlines() if '"tiers"' in l][-1]
     tiers = json.loads(tier_line)["tiers"]

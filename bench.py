@@ -228,14 +228,29 @@ def worker(platform: str) -> None:
         extras["exact_traj_per_sec"] = round(
             _time_traj(traj_exact, w0, batch, n_rep=1), 2)
 
+        from pregen_pde_tpu.solvers.spectral_ns_pallas import build_batched_traj
+
+        # production-horizon sibling of the north star: the reference's
+        # actual dataset horizons are 5.5k-13.5k solver steps per
+        # trajectory (`Regular/main.py:969-998` Re->endTime band law at
+        # --time-scale 5e-4); 10k steps here, run in bounded-program
+        # chunked mode (the dev tunnel kills single programs running
+        # ≳1 min; chunked is bit-identical — tests/test_onchip.py)
+        cfg_prod = NSVorticityConfig(
+            resolution=256, viscosity=1e-4, dt=1e-4, t_end=1.0,
+            n_snapshots=50, forcing="fno", include_initial=True,
+        )
+        traj_prod = jax.jit(build_batched_traj(NSVorticitySolver(cfg_prod),
+                                               chunk_steps=5000))
+        extras["production_10k_step_traj_per_sec"] = round(
+            _time_traj(traj_prod, w0, batch, n_rep=2), 2)
+
         # end-to-end on device: fused in-kernel (u,v,p) diagnosis (the
         # dataset pipeline's solve+pack, completion forced via a probe
         # slice); the FULL host fetch is timed separately because in THIS
         # dev environment device→host goes through the axon tunnel
         # (~15 MB/s measured — the tunnel, not the design, bounds it;
         # see PERF.md "end-to-end" notes)
-        from pregen_pde_tpu.solvers.spectral_ns_pallas import build_batched_traj
-
         traj_e2e = jax.jit(build_batched_traj(solver, output="fields"))
         extras["fields_traj_per_sec"] = round(
             _time_traj(traj_e2e, w0, batch, n_rep=2,

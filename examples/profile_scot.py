@@ -51,9 +51,13 @@ def measure_step(model, batch, res, cin, cout, compute_dtype=None, reps=20,
         return relative_lp_loss(apply(p, x, t).astype(jnp.float32), y)
 
     if fwd_only:
-        @jax.jit
+        # return ONLY the loss: returning the (undonated) param tree copies
+        # the whole model every step (measured: 157M params inflated the
+        # scOT-B forward above the full train step)
+        _loss_only = jax.jit(loss_fn)
+
         def step(params, opt_state):
-            return params, opt_state, loss_fn(params)
+            return params, opt_state, _loss_only(params)
     else:
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state):
@@ -98,17 +102,27 @@ def main():
                                num_out_channels=cout, **{**kw0, **over}))
 
     cases = {
+        # base_* follow attention_impl="auto" (fused on single-device TPU);
+        # xla_* pin the einsum attention path for an explicit baseline
         "base_f32": (make(), None, False, True),
         "base_bf16": (make(), jnp.bfloat16, False, True),
+        "xla_f32": (make(attention_impl="xla"), None, False, True),
+        "xla_bf16": (make(attention_impl="xla"), jnp.bfloat16, False, True),
         "fwd_f32": (make(), None, True, True),
         "fwd_bf16": (make(), jnp.bfloat16, True, True),
+        # ablations pin attention_impl="xla" so their deltas are measured
+        # against the xla baseline, not the Pallas path
         # conditioning off: every ConditionalLayerNorm becomes a plain LN
-        "noCondLN_f32": (make(use_conditioning=False), None, False, True),
+        "noCondLN_f32": (make(use_conditioning=False, attention_impl="xla"),
+                         None, False, True),
         # train=False: drop-path/dropout branches compiled out
-        "noTrainFlag_f32": (make(), None, False, False),
+        "noTrainFlag_f32": (make(attention_impl="xla"), None, False, False),
         # window 8: attention cost scales ~w^2 per token — localizes the
         # window-attention share
-        "window8_f32": (make(window_size=8), None, False, True),
+        "window8_f32": (make(window_size=8, attention_impl="xla"),
+                        None, False, True),
+        # fwd-only with xla attention (backward share)
+        "xla_fwd_f32": (make(attention_impl="xla"), None, True, True),
         "remat_f32": ("remat", None, False, True),
         # Pallas VMEM-resident window attention (ops/window_attention.py)
         "fused_f32": (make(attention_impl="fused"), None, False, True),
@@ -121,7 +135,7 @@ def main():
         if model == "remat":
             import jax
 
-            base = make()
+            base = make(attention_impl="xla")
 
             class _R:
                 def init(self, *a, **k):

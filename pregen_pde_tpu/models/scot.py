@@ -98,11 +98,14 @@ class ScOTConfig:
     # at a different window size keeps its pretrained relative-position
     # geometry. (0, 0, 0, 0) ≡ the reference default.
     pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
-    # attention lowering: "xla" (einsum chain), "fused" (Pallas VMEM-resident
-    # window attention, `ops/window_attention.py`), or "auto" (fused on TPU,
-    # xla elsewhere). Numerics-preserving — same matmul/softmax order; the
-    # fused path skips the HBM round trips of the (nb, h, n, n) attention
-    # tensor that dominate the train step at reference scales (PERF.md).
+    # attention lowering: "xla" (einsum chain) or "fused" (Pallas
+    # VMEM-resident window attention, `ops/window_attention.py`); "auto" ==
+    # "xla". Numerics-preserving — same matmul/softmax order. MEASURED
+    # (PERF.md, scOT-B 128² bs16 on v5e): the fused kernel is SLOWER than
+    # XLA's batched einsums (80.8 vs 67.8 ms/step f32) — window attention
+    # at these sizes is many small (n≤256, hd≤32) matmuls that XLA batches
+    # onto the MXU well, and its HBM round trips pipeline; the kernel stays
+    # available for explicit use (e.g. larger windows / head dims).
     attention_impl: str = "auto"
 
 
@@ -223,30 +226,27 @@ class WindowAttentionV2(nn.Module):
         bias16 = 16.0 * jax.nn.sigmoid(bias)  # (h, n, n)
 
         dropout_active = self.attn_dropout > 0.0 and not deterministic
-        # "auto" picks the Pallas kernel only single-device: a pallas_call
-        # inside a jit over a sharded batch can't be auto-partitioned by XLA
-        # SPMD (multi-chip DP keeps the einsum path; under an explicit
-        # shard_map, set attention_impl="fused" — per-shard it is fine).
-        use_fused = not dropout_active and (
-            self.impl == "fused"
-            or (self.impl == "auto" and jax.default_backend() == "tpu"
-                and jax.device_count() == 1)
-        )
+        # "auto" == xla: measured slower fused at reference scales (see
+        # ScOTConfig.attention_impl). Explicit "fused" only works
+        # single-device or under shard_map (a pallas_call inside a jit over
+        # a sharded batch can't be auto-partitioned by XLA SPMD).
+        use_fused = self.impl == "fused" and not dropout_active
         if use_fused:
             from pregen_pde_tpu.ops.window_attention import window_attention
 
-            # heads stay folded in the channel (lane) dim: normalize per
-            # head and fold the per-head logit scale into q, so the kernel
-            # computes plain q·kᵀ + bias
-            qh = q.reshape(nb, n, h, hd)
-            kh = k.reshape(nb, n, h, hd)
+            # normalize per head and fold the per-head logit scale into q,
+            # so the kernel computes plain q·kᵀ + bias; layout (nb, h, n, hd)
+            # (the kernel's per-head block tiling rule — see its docstring)
+            qh = q.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
+            kh = k.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
+            vh = v.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
             qh = qh / (jnp.linalg.norm(qh, axis=-1, keepdims=True) + 1e-6)
             kh = kh / (jnp.linalg.norm(kh, axis=-1, keepdims=True) + 1e-6)
-            qh = qh * scale.reshape(1, 1, h, 1).astype(qh.dtype)
+            qh = qh * scale.reshape(1, h, 1, 1).astype(qh.dtype)
             total_bias = (bias16[None] if mask is None
                           else bias16[None] + mask[:, None])  # (nw, h, n, n)
-            out = window_attention(qh.reshape(nb, n, c),
-                                   kh.reshape(nb, n, c), v, total_bias)
+            out = window_attention(qh, kh, vh, total_bias)
+            out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
         else:
             q = q.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
             k = k.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)

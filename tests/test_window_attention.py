@@ -12,18 +12,13 @@ from pregen_pde_tpu.ops.window_attention import window_attention
 
 
 def _oracle(q, k, v, bias):
-    """Pure-jnp reference: same math, heads unfolded."""
-    nb, n, c = q.shape
-    nw, h = bias.shape[:2]
-    hd = c // h
-    qh = q.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(nb, n, h, hd).transpose(0, 2, 1, 3)
-    attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh)
+    """Pure-jnp reference: same math on the kernel's (nb, h, n, hd) layout."""
+    nb = q.shape[0]
+    nw = bias.shape[0]
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
     attn = attn + jnp.tile(bias, (nb // nw, 1, 1, 1))
     p = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", p, vh)
-    return out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v)
 
 
 @pytest.mark.parametrize("nb,n,c,h,nw", [
@@ -32,9 +27,10 @@ def _oracle(q, k, v, bias):
 ])
 def test_kernel_matches_oracle_fwd_and_grads(nb, n, c, h, nw):
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(nb, n, c)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(nb, n, c)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(nb, n, c)).astype(np.float32))
+    hd = c // h
+    q = jnp.asarray(rng.normal(size=(nb, h, n, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(nb, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(nb, h, n, hd)).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=(nw, h, n, n)).astype(np.float32))
 
     out = window_attention(q, k, v, bias)

@@ -85,7 +85,7 @@ def main():
     # graft the pretrained backbone weights under the wrapper
     params = dict(ft.state.params)
     params["base"] = pretrained
-    ft.state = ft.state.replace(params=params)
+    ft.replace_params(params)
     ft.fit(BatchLoader(ft_train, 4, seed=0),
            val_loaders={"val": BatchLoader(ft_val, 4, shuffle=False)},
            log_fn=lambda r: print(json.dumps({"phase": "finetune", **r})))

@@ -19,7 +19,7 @@ from functools import partial
 
 
 def measure_step(model, batch, res, cin, cout, compute_dtype=None, reps=20,
-                 fwd_only=False, train_flag=True):
+                 fwd_only=False, train_flag=True, split=None, flat_opt=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,7 +34,17 @@ def measure_step(model, batch, res, cin, cout, compute_dtype=None, reps=20,
     params = jax.jit(lambda k: model.init(k, x, t)["params"])(jax.random.key(0))
     params = jax.tree_util.tree_map(
         lambda l: jax.lax.convert_element_type(l, l.dtype), params)
-    tx = optax.adamw(1e-4)
+    if flat_opt == "flatten":
+        # optax.flatten DOES NOT COMPILE at scOT-B on TPU: the whole-tree
+        # ravel makes XLA materialize a padded (52.6M, 3) layout intermediate
+        # (26.9 GB > HBM) — kept as a case to document the dead end
+        tx = optax.flatten(optax.adamw(1e-4))
+    elif flat_opt:
+        from pregen_pde_tpu.training.fused_optim import fused_adamw
+
+        tx = fused_adamw(1e-4, weight_decay=1e-4)
+    else:
+        tx = optax.adamw(1e-4)
     opt_state = tx.init(params)
     cast = ((lambda a: a.astype(compute_dtype)) if compute_dtype
             else (lambda a: a))
@@ -50,7 +60,34 @@ def measure_step(model, batch, res, cin, cout, compute_dtype=None, reps=20,
     def loss_fn(p):
         return relative_lp_loss(apply(p, x, t).astype(jnp.float32), y)
 
-    if fwd_only:
+    if split == "grad":
+        # backward share alone: params are NOT donated (unchanged across
+        # iterations) and NOT returned (returning an undonated input copies
+        # the whole 157M-param tree — see fwd_only note); the gradient tree
+        # is written into a donated grads-shaped buffer each call.
+        @partial(jax.jit, donate_argnums=(1,))
+        def _grad(p, gbuf):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            return grads, loss
+
+        gbuf = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def step(params, opt_state):
+            nonlocal gbuf
+            gbuf, loss = _grad(params, gbuf)
+            return params, opt_state, loss
+    elif split == "opt":
+        # optimizer share alone: AdamW update + apply on a fixed grads tree
+        grads = jax.tree_util.tree_map(
+            lambda l: jnp.full_like(l, 1e-4), params)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state):
+            updates, new_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            sc = jax.tree_util.tree_leaves(new_params)[0].ravel()[0]
+            return new_params, new_state, sc
+    elif fwd_only:
         # return ONLY the loss: returning the (undonated) param tree copies
         # the whole model every step (measured: 157M params inflated the
         # scOT-B forward above the full train step)
@@ -124,6 +161,24 @@ def main():
         # fwd-only with xla attention (backward share)
         "xla_fwd_f32": (make(attention_impl="xla"), None, True, True),
         "remat_f32": ("remat", None, False, True),
+        # fwd+bwd only (no optimizer): the backward share in isolation
+        "gradonly_f32": (make(attention_impl="xla"), None, "grad", True),
+        "gradonly_bf16": (make(attention_impl="xla"), jnp.bfloat16, "grad",
+                          True),
+        # AdamW update alone on the 157M-param tree (HBM-bound)
+        "optonly_f32": (make(attention_impl="xla"), None, "opt", True),
+        # depth linearity: 16 enc blocks instead of 32 at embed 96
+        "halfdepth_f32": (make(depths=(4, 4, 4, 4), attention_impl="xla"),
+                          None, False, True),
+        # bucketed fused AdamW (training/fused_optim.py): one update kernel
+        # per (dtype, decay) bucket instead of ~1200 per-leaf chains
+        "optfused_f32": (make(attention_impl="xla"), None, "opt", True),
+        "fusedstep_f32": (make(attention_impl="xla"), None, False, True),
+        "fusedstep_bf16": (make(attention_impl="xla"), jnp.bfloat16, False,
+                           True),
+        # optax.flatten (whole-tree ravel): measured NOT to compile at
+        # scOT-B on TPU (26.9 GB padded relayout) — see measure_step
+        "optflat_f32": (make(attention_impl="xla"), None, "opt", True),
         # Pallas VMEM-resident window attention (ops/window_attention.py)
         "fused_f32": (make(attention_impl="fused"), None, False, True),
         "fused_bf16": (make(attention_impl="fused"), jnp.bfloat16, False, True),
@@ -147,9 +202,13 @@ def main():
                     )(a[0], a[1], a[2])
 
             model = _R()
+        split = fwd if isinstance(fwd, str) else None
         ms = measure_step(model, args.batch, args.res, cin, cout,
-                          compute_dtype=dt, reps=args.reps, fwd_only=fwd,
-                          train_flag=tf)
+                          compute_dtype=dt, reps=args.reps,
+                          fwd_only=(fwd is True), train_flag=tf, split=split,
+                          flat_opt=("flatten" if name.startswith("optflat")
+                                    else name.startswith(("optfused",
+                                                          "fusedstep"))))
         print(json.dumps({"case": name, "size": args.size,
                           "batch": args.batch, "res": args.res,
                           "ms_per_step": round(ms, 2)}), flush=True)

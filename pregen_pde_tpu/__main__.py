@@ -757,9 +757,7 @@ def _cmd_finetune(args):
     trainer = Trainer(model, tcfg, tier_fn=finetune_tier_fn)
     first = next(iter(make_batch_loader(train, args.batch_size, seed=0)))
     trainer.init_state(first, steps_per_epoch=max(len(train) // args.batch_size, 1))
-    trainer.state = trainer.state.replace(params=jax.device_put(
-        params, jax.tree_util.tree_map(lambda l: l.sharding,
-                                       trainer.state.params)))
+    trainer.replace_params(params)
     result = trainer.fit(
         make_batch_loader(train, args.batch_size, seed=0),
         val_loaders={"val": BatchLoader(val, args.batch_size, shuffle=False)},

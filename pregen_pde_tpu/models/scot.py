@@ -50,6 +50,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pregen_pde_tpu.ops.cpb_bias import relative_position_bias
+
 # reference init: HF `Swinv2PreTrainedModel._init_weights` draws every
 # Linear/Conv weight from N(0, initializer_range=0.02) with zero biases;
 # matched here for training-dynamics parity (the CondLayerNorm time maps
@@ -216,13 +218,10 @@ class WindowAttentionV2(nn.Module):
         cpb = nn.relu(cpb)
         cpb = nn.Dense(h, use_bias=False, kernel_init=_REF_INIT, name="cpb_mlp2")(cpb)  # ((2w-1)², h)
 
-        ci = np.stack(
-            np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"), 0
-        ).reshape(2, -1)
-        rel = ci[:, :, None] - ci[:, None, :]  # (2, N, N)
-        rel = rel + (ws - 1)
-        rel_index = (rel[0] * (2 * ws - 1) + rel[1]).reshape(-1)
-        bias = cpb[jnp.asarray(rel_index)].reshape(n, n, h).transpose(2, 0, 1)
+        # table -> (h, n, n) expansion: gather forward + Toeplitz-einsum
+        # adjoint (the autodiff scatter-add of n² duplicate indices is a
+        # serialized TPU slow path — ops/cpb_bias.py)
+        bias = relative_position_bias(cpb, ws).reshape(n, n, h).transpose(2, 0, 1)
         bias16 = 16.0 * jax.nn.sigmoid(bias)  # (h, n, n)
 
         dropout_active = self.attn_dropout > 0.0 and not deterministic

@@ -67,6 +67,14 @@ class TrainerConfig:
     # 3 = shard params + optimizer state (ZeRO-3/full FSDP). None = replicate
     # (plain DP, ≡ DDP).
     zero_stage: int | None = None
+    # bucketed single-kernel AdamW (training/fused_optim.py), bit-identical
+    # to optax.adamw. MEASURED at scOT-B on v5e (PERF.md round 4): the
+    # bucketing wins in isolation (update alone 35.0 → 25.3 ms) but LOSES
+    # inside the jitted train step (46.8 → 60.4 ms/step) — XLA already
+    # fuses each leaf's optimizer chain into the backward, while the bucket
+    # concat forces every gradient to materialize and serializes a
+    # gather→update→scatter mega-chain. Default stays per-leaf optax.
+    fused_optimizer: bool = False
 
 
 class TrainState(train_state.TrainState):
@@ -117,6 +125,10 @@ def build_optimizer(cfg: TrainerConfig, steps_per_epoch: int,
     def make_tx(lr, decay: str = "matrix"):
         wd = 0.0 if decay == "none" else cfg.weight_decay
         mask = decay_mask if decay == "matrix" else None
+        if getattr(cfg, "fused_optimizer", False):
+            from pregen_pde_tpu.training.fused_optim import fused_adamw
+
+            return fused_adamw(make_sched(lr), weight_decay=wd, mask=mask)
         return optax.adamw(make_sched(lr), weight_decay=wd, mask=mask)
 
     if cfg.lr_tiers and tier_fn is not None and params is not None:
@@ -221,6 +233,23 @@ class Trainer:
         state = jax.device_put(state, self._state_sh)
         self.state = state
         return state
+
+    def replace_params(self, params) -> TrainState:
+        """Swap a new parameter tree into the train state (e.g. pretrained
+        weights grafted at the start of fine-tuning), RE-INITIALIZING the
+        optimizer state for it. Moments restart at zero — correct for a
+        fresh training/fine-tuning run — and the optimizer state's
+        dtype/bucket layout follows the NEW tree (required for the fused
+        bucketed optimizer, whose state layout is fixed at init; also what
+        per-leaf optax semantics want when dtypes change)."""
+        params = jax.tree_util.tree_map(
+            lambda l: jax.lax.convert_element_type(
+                jnp.asarray(l), jnp.asarray(l).dtype), params)
+        state = self.state.replace(params=params,
+                                   opt_state=self.state.tx.init(params))
+        self._state_sh, self._params_sh = self._make_state_sharding(state)
+        self.state = jax.device_put(state, self._state_sh)
+        return self.state
 
     def _make_state_sharding(self, state):
         """(state sharding pytree, params sharding pytree) per cfg.zero_stage."""

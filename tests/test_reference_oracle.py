@@ -1749,7 +1749,7 @@ def test_cno_loss_curve_matches_reference_30_steps():
     loader = _CycleLoader()
     trainer.init_state(next(iter(loader)), steps_per_epoch=1)
     loader.i = 0
-    trainer.state = trainer.state.replace(params=import_cno_state_dict(
+    trainer.replace_params(import_cno_state_dict(
         sd0, n_layers=nl, n_res=n_res, n_res_neck=n_res_neck))
     res = trainer.fit(loader)
     losses_ours = [r["train_loss"] for r in res["history"]]

@@ -296,3 +296,29 @@ def test_rollout_pixel_mask_forcing_propagates():
     # forced channel 0
     assert float(jnp.abs(preds_forced[1][..., 1:]
                          - preds_free[1][..., 1:]).max()) > 1e-6
+
+
+def test_cpb_bias_custom_vjp_matches_gather_grad():
+    """The Toeplitz-einsum adjoint of the CPB bias expansion must equal
+    jax.grad through the plain gather (scatter-add adjoint) exactly (f64)."""
+    from pregen_pde_tpu.ops.cpb_bias import _rel_index, relative_position_bias
+
+    for ws, h in ((4, 3), (8, 6), (5, 2)):
+        table = jnp.asarray(
+            np.random.default_rng(ws).normal(size=((2 * ws - 1) ** 2, h)))
+        cot = jnp.asarray(
+            np.random.default_rng(ws + 1).normal(size=(ws**4, h)))
+        idx = jnp.asarray(_rel_index(ws))
+
+        def loss_gather(t):
+            return jnp.vdot(t[idx], cot)
+
+        def loss_custom(t):
+            return jnp.vdot(relative_position_bias(t, ws), cot)
+
+        np.testing.assert_array_equal(
+            np.asarray(relative_position_bias(table, ws)),
+            np.asarray(table[idx]))
+        g_ref = np.asarray(jax.grad(loss_gather)(table))
+        g_new = np.asarray(jax.grad(loss_custom)(table))
+        np.testing.assert_allclose(g_new, g_ref, rtol=1e-12, atol=1e-12)

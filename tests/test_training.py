@@ -206,3 +206,82 @@ def test_compute_stats_streams_chunks_identically():
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
     ref_m = np.concatenate([a.reshape(-1, 6), b.reshape(-1, 6)])[:, :3].mean(0)
     np.testing.assert_allclose(m1, ref_m, rtol=1e-5)
+
+
+def test_fused_adamw_bit_identical_to_optax():
+    """fused_adamw (bucketed single-kernel update) must equal optax.adamw
+    EXACTLY — same updates, same moments — over several steps, with a
+    matrix-only decay mask and a schedule (training/fused_optim.py)."""
+    import jax
+    import optax
+
+    from pregen_pde_tpu.training.fused_optim import fused_adamw
+
+    rng = np.random.default_rng(0)
+    params = {
+        "dense": {"kernel": jnp.asarray(rng.normal(size=(7, 5)), jnp.float32),
+                  "bias": jnp.asarray(rng.normal(size=(5,)), jnp.float32)},
+        "norm": {"scale": jnp.asarray(rng.normal(size=(5,)), jnp.float32)},
+        "deep": {"w": jnp.asarray(rng.normal(size=(3, 4, 5)), jnp.float32)},
+    }
+
+    def mask(tree):
+        return jax.tree_util.tree_map(lambda l: l.ndim >= 2, tree)
+
+    sched = optax.warmup_cosine_decay_schedule(0.0, 3e-3, 2, 10)
+    ref = optax.adamw(sched, weight_decay=0.02, mask=mask)
+    fus = fused_adamw(sched, weight_decay=0.02, mask=mask)
+
+    s_ref, s_fus = ref.init(params), fus.init(params)
+    p_ref = p_fus = params
+    for step in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda l: jnp.asarray(
+                rng.normal(size=l.shape) * 0.1, jnp.float32), params)
+        u_ref, s_ref = ref.update(grads, s_ref, p_ref)
+        u_fus, s_fus = fus.update(grads, s_fus, p_fus)
+        for kp, a in jax.tree_util.tree_leaves_with_path(u_ref):
+            b = dict(jax.tree_util.tree_leaves_with_path(u_fus))[kp]
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(kp) + f" step {step}")
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_fus = optax.apply_updates(p_fus, u_fus)
+
+
+def test_fused_adamw_inside_multi_transform():
+    """fused_adamw must compose with optax.multi_transform (the tiered scOT
+    optimizer): MaskedNode placeholders flatten to zero leaves, and the
+    result must equal the same multi_transform over optax.adamw exactly."""
+    import jax
+    import optax
+
+    from pregen_pde_tpu.training.fused_optim import fused_adamw
+
+    rng = np.random.default_rng(1)
+    params = {
+        "embed": {"kernel": jnp.asarray(rng.normal(size=(4, 6)), jnp.float32),
+                  "bias": jnp.asarray(rng.normal(size=(6,)), jnp.float32)},
+        "head": {"kernel": jnp.asarray(rng.normal(size=(6, 2)), jnp.float32)},
+    }
+    labels = {"embed": {"kernel": "emb", "bias": "emb"},
+              "head": {"kernel": "main"}}
+
+    def make(builder):
+        return optax.multi_transform(
+            {"emb": builder(1e-3, weight_decay=0.01),
+             "main": builder(5e-4, weight_decay=0.0)}, labels)
+
+    ref = make(lambda lr, weight_decay: optax.adamw(
+        lr, weight_decay=weight_decay))
+    fus = make(lambda lr, weight_decay: fused_adamw(
+        lr, weight_decay=weight_decay))
+    s_ref, s_fus = ref.init(params), fus.init(params)
+    grads = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(rng.normal(size=l.shape), jnp.float32), params)
+    for _ in range(3):
+        u_ref, s_ref = ref.update(grads, s_ref, params)
+        u_fus, s_fus = fus.update(grads, s_fus, params)
+        for kp, a in jax.tree_util.tree_leaves_with_path(u_ref):
+            b = dict(jax.tree_util.tree_leaves_with_path(u_fus))[kp]
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(kp))

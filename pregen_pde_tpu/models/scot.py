@@ -104,7 +104,8 @@ class ScOTConfig:
     # VMEM-resident window attention, `ops/window_attention.py`); "auto" ==
     # "xla". Numerics-preserving — same matmul/softmax order. MEASURED
     # (PERF.md, scOT-B 128² bs16 on v5e): the fused kernel is SLOWER than
-    # XLA's batched einsums (80.8 vs 67.8 ms/step f32) — window attention
+    # XLA's batched einsums (80.8 vs 67.8 ms/step f32, measured pre-CPB-
+    # adjoint; both paths share the bias construction) — window attention
     # at these sizes is many small (n≤256, hd≤32) matmuls that XLA batches
     # onto the MXU well, and its HBM round trips pipeline; the kernel stays
     # available for explicit use (e.g. larger windows / head dims).

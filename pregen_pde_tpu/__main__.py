@@ -415,6 +415,35 @@ def _cmd_train(args):
                         in_channels=train.in_channels,
                         out_channels=train.out_channels)
     trainer = _build_trainer(args, model, ckpt=args.ckpt)
+    if args.device_resident:
+        # device-resident training: the whole corpus lives in HBM, one
+        # jitted scan program per epoch, on-device best-params tracking
+        # (per-epoch host traffic = int32 index triples)
+        if args.zero_stage is not None:
+            raise SystemExit("--device-resident supports plain DP only "
+                             "(fit_resident); drop --zero-stage")
+        if args.resume:
+            raise SystemExit("--device-resident starts fresh; checkpoint "
+                             "resume runs on the streaming-loader path")
+        from pregen_pde_tpu.training.device_data import (
+            DeviceDataStore,
+            fit_resident,
+        )
+
+        store = DeviceDataStore({"d": data})
+        result = fit_resident(
+            trainer, store, store.triples("d", "train", cfg),
+            train.mean, train.std,
+            val_triples={"val": store.triples("d", "val", cfg)},
+            out_channels=train.out_channels,
+            log_fn=lambda rec: print(json.dumps(rec), flush=True),
+        )
+        trainer.restore_best()
+        if args.ckpt:
+            trainer._save_ckpt(len(result["history"]))
+        print(json.dumps({"best_mean_val_rel_%": result["best_metric"]}),
+              flush=True)
+        return
     loader = make_batch_loader(train, args.batch_size, seed=0)
     _maybe_resume(args, trainer, loader)
     result = trainer.fit(
@@ -969,6 +998,12 @@ def main(argv=None):
                         "params + optimizer state over the data axis")
     t.add_argument("--remat", action="store_true",
                    help="rematerialize forward in backward (saves HBM)")
+    t.add_argument("--device-resident", action="store_true",
+                   help="upload the whole contract tensor to HBM once and "
+                        "train with one jitted lax.scan program per epoch "
+                        "(training/device_data.py) — removes the host input "
+                        "pipeline entirely for corpora that fit HBM; plain "
+                        "DP only (contract --data path, not --dataset)")
     t.set_defaults(fn=_cmd_train)
 
     ic = sub.add_parser("import-ckpt", help="migrate a reference torch "

@@ -62,10 +62,41 @@ def measure(model, batch, in_ch, out_ch, size, compute_dtype=None, reps=10):
     return dt, n_par
 
 
+def measure_infer(model, batch, in_ch, out_ch, size, compute_dtype=None,
+                  reps=20):
+    """Forward-only (serving) throughput: jitted apply, params pre-cast."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, size, size, in_ch)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32))
+    params = jax.jit(lambda k: model.init(k, x, t)["params"])(jax.random.key(0))
+    if compute_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda l: l.astype(compute_dtype), params)
+        x = x.astype(compute_dtype)
+
+    @jax.jit
+    def fwd(p, xx, tt):
+        return model.apply({"params": p}, xx, tt)
+
+    out = fwd(params, x, t)
+    jax.device_get(out[0, 0, 0, :1])  # sync (block_until_ready is a no-op)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fwd(params, x, t)
+    jax.device_get(out[0, 0, 0, :1])
+    dt = (time.perf_counter() - t0) / reps
+    n_par = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+    return dt, n_par
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="cno,scot_t,scot_b,fno,ffno")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--inference", action="store_true",
+                    help="forward-only (serving) throughput instead of the "
+                         "train step")
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--fast", action="store_true",
                     help="toy sizes for CI smoke (tests/test_examples.py)")
     args = ap.parse_args()
@@ -74,8 +105,11 @@ def main():
     use_best_backend()  # tolerate the tunnel's shifting platform name
     want = args.models.split(",")
     dtype = jnp.bfloat16 if args.bf16 else None
+    global measure
+    bs = args.batch
+    if args.inference:
+        measure = measure_infer
     if args.fast:
-        global measure
         _measure_full = measure
 
         def measure(m, batch, cin, cout, size, dt):  # noqa: F811
@@ -86,41 +120,41 @@ def main():
 
         m = CNO(in_size=128, out_dim=3, n_layers=3, n_res=4, n_res_neck=6,
                 channel_multiplier=32)
-        dt, n = measure(m, 16, 7, 3, 128, dtype)
+        dt, n = measure(m, bs, 7, 3, 128, dtype)
         print(json.dumps({"model": "CNO 128^2 mult=32 (ref scale)", "params": n,
-                          "batch": 16, "ms_per_step": round(dt * 1e3, 2),
-                          "samples_per_s": round(16 / dt, 1)}))
+                          "batch": bs, "ms_per_step": round(dt * 1e3, 2),
+                          "samples_per_s": round(bs / dt, 1)}))
 
-    for name, key in [("scot_t", "T"), ("scot_b", "B")]:
+    for name, key in [("scot_t", "T"), ("scot_s", "S"), ("scot_b", "B"), ("scot_l", "L")]:
         if name in want:
             from pregen_pde_tpu.models.scot import MODEL_SIZES, ScOT, ScOTConfig
 
             cfg = ScOTConfig(image_size=128, num_channels=6, num_out_channels=3,
                              **MODEL_SIZES[key])
             m = ScOT(cfg)
-            dt, n = measure(m, 16, 6, 3, 128, dtype)
+            dt, n = measure(m, bs, 6, 3, 128, dtype)
             print(json.dumps({"model": f"scOT-{key} 128^2 (mixing.yaml scale)",
-                              "params": n, "batch": 16,
+                              "params": n, "batch": bs,
                               "ms_per_step": round(dt * 1e3, 2),
-                              "samples_per_s": round(16 / dt, 1)}))
+                              "samples_per_s": round(bs / dt, 1)}))
 
     if "fno" in want:
         from pregen_pde_tpu.models.fno import FNO2d
 
         m = FNO2d(out_channels=3, modes=12, width=48, n_layers=4)
-        dt, n = measure(m, 16, 6, 3, 128, dtype)
+        dt, n = measure(m, bs, 6, 3, 128, dtype)
         print(json.dumps({"model": "FNO 128^2 modes=12 width=48", "params": n,
-                          "batch": 16, "ms_per_step": round(dt * 1e3, 2),
-                          "samples_per_s": round(16 / dt, 1)}))
+                          "batch": bs, "ms_per_step": round(dt * 1e3, 2),
+                          "samples_per_s": round(bs / dt, 1)}))
 
     if "ffno" in want:
         from pregen_pde_tpu.models.ffno import FFNO2d
 
         m = FFNO2d(out_channels=3, modes=12, width=48, n_layers=4)
-        dt, n = measure(m, 16, 6, 3, 128, dtype)
+        dt, n = measure(m, bs, 6, 3, 128, dtype)
         print(json.dumps({"model": "FFNO 128^2 modes=12 width=48", "params": n,
-                          "batch": 16, "ms_per_step": round(dt * 1e3, 2),
-                          "samples_per_s": round(16 / dt, 1)}))
+                          "batch": bs, "ms_per_step": round(dt * 1e3, 2),
+                          "samples_per_s": round(bs / dt, 1)}))
 
 
 if __name__ == "__main__":

@@ -92,7 +92,6 @@ def test_batched_masks():
     assert bool(jnp.all(jnp.isfinite(frames)))
 
 
-@pytest.mark.slow
 @pytest.mark.parametrize("re,tol_u,tol_v", [(100, 0.05, 0.03),
                                             (400, 0.07, 0.06)])
 def test_cavity_ghia_tables(re, tol_u, tol_v):
@@ -112,7 +111,6 @@ def test_cavity_ghia_tables(re, tol_u, tol_v):
         assert abs(model - ghia) <= 0.08 * abs(ghia), (key, model, ghia)
 
 
-@pytest.mark.slow
 def test_cylinder_strouhal_and_drag():
     """FPO cylinder at Re_d=150 (incident centerline velocity): vortex
     shedding must be established (probe amplitude ≫ noise), the Strouhal
@@ -128,7 +126,6 @@ def test_cylinder_strouhal_and_drag():
     assert 1.0 < r["cd_mean"] < 1.6, r["cd_mean"]
 
 
-@pytest.mark.slow
 def test_grid_convergence_order():
     """Richardson triplet on the developing cavity flow: the projection
     scheme's observed spatial order (2nd-order interior advection/diffusion

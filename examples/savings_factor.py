@@ -121,9 +121,12 @@ def make_model(size: str, res: int, fast: bool):
 
 
 def run_one(name: str, spec: dict, store, mean, std, cfg_time, args,
-            state: Path) -> dict:
-    """Train one configuration (cached as run_<name>.json)."""
-    out_path = state / f"run_{name}.json"
+            state: Path, seed: int = 0) -> dict:
+    """Train one configuration (cached as run_<name>.json; seed>0 runs cache
+    as run_<name>_s<seed>.json so multi-seed sweeps extend a finished
+    single-seed state dir without invalidating it)."""
+    out_path = state / (f"run_{name}.json" if seed == 0
+                        else f"run_{name}_s{seed}.json")
     if out_path.exists():
         return json.loads(out_path.read_text())
     from pregen_pde_tpu.training.device_data import (
@@ -144,10 +147,12 @@ def run_one(name: str, spec: dict, store, mean, std, cfg_time, args,
                "ve": store.triples("easy", "val", cfg_time)}
 
     model = make_model(args.model_size, store.data.shape[2], args.fast)
+    # the seed drives init, shuffling, and dropout; the trajectory subset is
+    # fixed (first-n per tier) so seeds measure training noise, not sampling
     trainer = Trainer(model, TrainerConfig(
         learning_rate=5e-5,  # reference configs/mixing.yaml
         epochs=args.epochs, batch_size=args.batch_size,
-        early_stop_patience=args.patience, grad_clip=5.0, seed=0,
+        early_stop_patience=args.patience, grad_clip=5.0, seed=seed,
     ))
     t0 = time.time()
     res = fit_resident(trainer, store, train_tri, mean, std,
@@ -156,6 +161,7 @@ def run_one(name: str, spec: dict, store, mean, std, cfg_time, args,
     trainer.restore_best()
     rec = {
         "spec": spec,
+        "seed": seed,
         "epochs_run": len(res["history"]),
         "best_mean_val_rel_%": res["best_metric"],
         "train_wall_s": round(time.time() - t0, 1),
@@ -178,60 +184,95 @@ def _loglog_interp(x0: float, xs: np.ndarray, ys: np.ndarray) -> float:
     return float(np.exp(np.interp(np.log(x0), lx, ly)))
 
 
+def _strip_seed(name: str) -> tuple[str, int]:
+    """'alpha_0.5_s2' -> ('alpha_0.5', 2); seedless names are seed 0."""
+    import re
+
+    m = re.match(r"(.+)_s(\d+)$", name)
+    return (m.group(1), int(m.group(2))) if m else (name, 0)
+
+
 def analyze(runs: dict, gen_meta: dict, total: int) -> dict:
-    """Iso-error savings: for each mixed run, the hard-only generation cost
-    reaching the same test-hard error, over the mixed dataset's cost."""
+    """Iso-error savings: for each mixed configuration, the hard-only
+    generation cost reaching the same test-hard error, over the mixed
+    dataset's cost. Multi-seed runs of one configuration are aggregated by
+    the MEDIAN error (headline) with per-seed errors/savings kept for the
+    spread (VERDICT r4 #2: the single-seed tables lived inside training
+    noise)."""
     c_h = gen_meta["cost_per_traj_hard_s"]
     c_e = gen_meta["cost_per_traj_easy_s"]
     c_m = gen_meta.get("cost_per_traj_medium_s", 0.0)
 
-    # hard-only error-vs-size curve: the dedicated ladder runs plus the
-    # alpha=1 mixed run (spec: only n_hard nonzero selects both)
     def _n(r, tier):
         return r["spec"].get(f"n_{tier}", 0) or 0
 
-    ladder = sorted(
-        (_n(r, "hard"), r["test_hard"]["median_rel_%"])
-        for r in runs.values()
-        if _n(r, "easy") == 0 and _n(r, "medium") == 0
-    )
-    ns = np.array([n for n, _ in ladder], float)
-    errs = np.array([e for _, e in ladder], float)
+    # group seeds of one configuration
+    groups: dict[str, dict[int, dict]] = {}
+    for k, r in runs.items():
+        base, seed = _strip_seed(k)
+        groups.setdefault(base, {})[r.get("seed", seed)] = r
+
+    # hard-only error-vs-size curve: the dedicated ladder runs plus the
+    # alpha=1 mixed run (spec: only n_hard nonzero selects both); the curve
+    # point at each n is the MEDIAN over seeds
+    ladder_errs: dict[int, list[float]] = {}
+    for by_seed in groups.values():
+        r0 = next(iter(by_seed.values()))
+        if _n(r0, "easy") == 0 and _n(r0, "medium") == 0:
+            ladder_errs.setdefault(_n(r0, "hard"), []).extend(
+                r["test_hard"]["median_rel_%"] for r in by_seed.values())
+    ladder = sorted((n, float(np.median(e)), sorted(round(x, 3) for x in e))
+                    for n, e in ladder_errs.items())
+    ns = np.array([n for n, _, _ in ladder], float)
+    errs = np.array([e for _, e, _ in ladder], float)
     # enforce monotone-nonincreasing error for stable inversion (training
     # noise can locally invert the curve); keep the raw points in the report
     errs_mono = np.minimum.accumulate(errs)
 
-    def iso_entry(r):
-        n_hard, n_med, n_easy = (_n(r, t) for t in ("hard", "medium", "easy"))
+    def _iso(err: float, cost_mix: float) -> tuple[float, float, str | None]:
+        if err <= errs_mono[-1]:
+            # better than the largest hard-only run: the iso-error hard-only
+            # cost exceeds the ladder -> LOWER BOUND, no extrapolation
+            return float(ns[-1]), ns[-1] * c_h / cost_mix, "lower"
+        if err >= errs_mono[0]:
+            # worse than the smallest hard-only run
+            return float(ns[0]), ns[0] * c_h / cost_mix, "upper"
+        n_iso = _loglog_interp(err, errs_mono[::-1], ns[::-1])
+        return round(n_iso, 1), n_iso * c_h / cost_mix, None
+
+    def iso_entry(by_seed: dict[int, dict]):
+        r0 = next(iter(by_seed.values()))
+        n_hard, n_med, n_easy = (_n(r0, t) for t in ("hard", "medium", "easy"))
         cost_mix = n_hard * c_h + n_med * c_m + n_easy * c_e
-        err = r["test_hard"]["median_rel_%"]
+        seed_errs = {s: r["test_hard"]["median_rel_%"]
+                     for s, r in sorted(by_seed.items())}
+        err = float(np.median(list(seed_errs.values())))
         entry = {
             "n_hard": n_hard, "n_easy": n_easy,
             "cost_mixed_s": round(cost_mix, 1),
             "test_hard_median_rel_%": err,
-            "test_easy_median_rel_%": r["test_easy"]["median_rel_%"],
+            "test_easy_median_rel_%": float(np.median(
+                [r["test_easy"]["median_rel_%"] for r in by_seed.values()])),
         }
         if n_med:
             entry["n_medium"] = n_med
-        if "test_medium" in r:
-            entry["test_medium_median_rel_%"] = \
-                r["test_medium"]["median_rel_%"]
-        if err <= errs_mono[-1]:
-            # better than the largest hard-only run: the iso-error hard-only
-            # cost exceeds the ladder -> report a LOWER BOUND, no extrapolation
-            entry["iso_n_hard"] = float(ns[-1])
-            entry["savings_x"] = round(ns[-1] * c_h / cost_mix, 2)
+        if "test_medium" in r0:
+            entry["test_medium_median_rel_%"] = float(np.median(
+                [r["test_medium"]["median_rel_%"] for r in by_seed.values()]))
+        iso_n, sav, bound = _iso(err, cost_mix)
+        entry["iso_n_hard"] = iso_n
+        entry["savings_x"] = round(sav, 2)
+        if bound == "lower":
             entry["savings_is_lower_bound"] = True
-        elif err >= errs_mono[0]:
-            # worse than the smallest hard-only run
-            entry["iso_n_hard"] = float(ns[0])
-            entry["savings_x"] = round(ns[0] * c_h / cost_mix, 2)
+        elif bound == "upper":
             entry["savings_is_upper_bound"] = True
-        else:
-            # invert the monotone error curve: n at err (log-log)
-            n_iso = _loglog_interp(err, errs_mono[::-1], ns[::-1])
-            entry["iso_n_hard"] = round(n_iso, 1)
-            entry["savings_x"] = round(n_iso * c_h / cost_mix, 2)
+        if len(by_seed) > 1:
+            entry["seed_errs"] = {str(s): round(e, 3)
+                                  for s, e in seed_errs.items()}
+            per_seed_sav = [round(_iso(e, cost_mix)[1], 2)
+                            for e in seed_errs.values()]
+            entry["savings_x_per_seed"] = per_seed_sav
+            entry["savings_x_range"] = [min(per_seed_sav), max(per_seed_sav)]
         return entry
 
     out = {"ladder_raw": ladder,
@@ -239,17 +280,19 @@ def analyze(runs: dict, gen_meta: dict, total: int) -> dict:
            "alphas": {}}
     if c_m:
         out["cost_per_traj"]["medium"] = c_m
-    for k, r in sorted(runs.items()):
-        if k.startswith("alpha_"):
-            out["alphas"][f"{float(k.split('_')[1]):g}"] = iso_entry(r)
-        elif k.startswith("trimix_"):
-            out.setdefault("trimix", {})[k[len("trimix_"):]] = iso_entry(r)
+    for base, by_seed in sorted(groups.items()):
+        if base.startswith("alpha_"):
+            out["alphas"][f"{float(base.split('_')[1]):g}"] = iso_entry(by_seed)
+        elif base.startswith("trimix_"):
+            out.setdefault("trimix", {})[base[len("trimix_"):]] = \
+                iso_entry(by_seed)
 
     pool = {**out["alphas"], **out.get("trimix", {})}
     best = max(pool.items(), key=lambda kv: kv[1]["savings_x"])
     out["best_mix"] = best[0]
     out["best_savings_x"] = best[1]["savings_x"]
     out["total_trajectories"] = total
+    out["n_seeds"] = max(len(g) for g in groups.values())
     return out
 
 
@@ -270,6 +313,11 @@ def main():
                     "e.g. 64:128:64,0:256:0. Adds the `fpo_hole` medium "
                     "tier to the state dir on first use.")
     ap.add_argument("--model-size", default="T")
+    ap.add_argument("--seeds", default="0",
+                    help="comma list of training seeds; every configuration "
+                    "in THIS invocation runs once per seed (cached per "
+                    "(config, seed)), and the final analysis aggregates "
+                    "every cached run in --state-dir by median over seeds")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=None,
                     help="epoch CAP; runs early-stop on the val plateau")
@@ -316,25 +364,30 @@ def main():
     store = DeviceDataStore(arrays)
     del hard, easy, arrays
 
-    runs = {}
-    for a in [float(x) for x in args.alphas.split(",")]:
-        n_hard = int(round(a * total))
-        spec = {"n_hard": n_hard, "n_easy": total - n_hard, "alpha": a}
-        runs[f"alpha_{a:g}"] = run_one(f"alpha_{a:g}", spec, store, mean, std,
-                                       cfg_time, args, state)
-    for n in [int(x) for x in args.hard_ladder.split(",") if x]:
-        if n >= total:
-            continue
-        spec = {"n_hard": n, "n_easy": 0, "alpha": None}
-        runs[f"hardonly_{n}"] = run_one(f"hardonly_{n}", spec, store, mean,
-                                        std, cfg_time, args, state)
-    for comp in trimix:
-        nh, nm, ne = (int(x) for x in comp.split(":"))
-        name = f"trimix_{nh}_{nm}_{ne}"
-        spec = {"n_hard": nh, "n_medium": nm, "n_easy": ne, "alpha": None}
-        runs[name] = run_one(name, spec, store, mean, std, cfg_time, args,
-                             state)
+    seeds = [int(x) for x in args.seeds.split(",")]
+    for seed in seeds:
+        for a in [float(x) for x in args.alphas.split(",")]:
+            n_hard = int(round(a * total))
+            spec = {"n_hard": n_hard, "n_easy": total - n_hard, "alpha": a}
+            run_one(f"alpha_{a:g}", spec, store, mean, std, cfg_time, args,
+                    state, seed=seed)
+        for n in [int(x) for x in args.hard_ladder.split(",") if x]:
+            if n >= total:
+                continue
+            spec = {"n_hard": n, "n_easy": 0, "alpha": None}
+            run_one(f"hardonly_{n}", spec, store, mean, std, cfg_time, args,
+                    state, seed=seed)
+        for comp in trimix:
+            nh, nm, ne = (int(x) for x in comp.split(":"))
+            name = f"trimix_{nh}_{nm}_{ne}"
+            spec = {"n_hard": nh, "n_medium": nm, "n_easy": ne, "alpha": None}
+            run_one(name, spec, store, mean, std, cfg_time, args, state,
+                    seed=seed)
 
+    # the analysis aggregates EVERY cached run in the state dir (not just
+    # this invocation's grid), so seed sweeps can be added incrementally
+    runs = {p.stem[len("run_"):]: json.loads(p.read_text())
+            for p in sorted(state.glob("run_*.json"))}
     result = analyze(runs, gen_meta, total)
     (state / "savings.json").write_text(json.dumps(result, indent=1))
     print(json.dumps(result))

@@ -202,11 +202,8 @@ def generate_masked_ns_batch(
             frames = frames.astype(storage_dtype)  # cast on device pre-fetch
         return np.asarray(jax.device_get(frames))[:n_real]
 
-    for horizon in np.unique(end_t_np):
-        idx_raw = np.nonzero(end_t_np == horizon)[0]
-        # per-bucket CFL-stable dt from the bucket's fastest inlet/lid
-        dt_b = cfl_dt(cfg, float(u_max_np[idx_raw].max()))
-        frames = _run(idx_raw, float(horizon), dt_b)
+    def _run_bucket(idx_raw: np.ndarray, horizon: float, dt_b: float):
+        frames = _run(idx_raw, horizon, dt_b)
         # fail-soft with exact counts: outlier geometries (severe
         # constrictions) that still blow up retry at dt/2 (same compiled
         # executable — dt and the trip count are traced scalars)
@@ -224,10 +221,27 @@ def generate_masked_ns_batch(
                 attempt + 1)
             if not frames.flags.writeable:  # device_get views are read-only
                 frames = np.array(frames)
-            frames[~finite] = _run(bad, float(horizon), dt_b)
+            frames[~finite] = _run(bad, horizon, dt_b)
         out[idx_raw, :, :, :, 0:3] = frames
         out[idx_raw, :, :, :, 3] = re_norm_np[idx_raw, None, None, None]
         out[idx_raw, :, :, :, 4] = masks_np[idx_raw, None, :, :]
         out[idx_raw, :, :, :, 5] = sdfs_np[idx_raw, None, :, :]
+
+    for horizon in np.unique(end_t_np):
+        idx_h = np.nonzero(end_t_np == horizon)[0]
+        # PER-TRAJECTORY CFL dt: each trajectory's own u_max sets its step.
+        # Trajectories are sub-bucketed by the power-of-two refinement level
+        # k = ceil(log2(cfg.dt / cfl_dt_i)) (≤ log2 levels bound the launch
+        # count; dt stays a traced scalar so every sub-bucket reuses the
+        # same executable) and each sub-bucket runs at the SMALLEST exact
+        # CFL dt of its members — so one fast inlet taxes only its own
+        # sub-bucket, never the whole horizon bucket (round ≤4 used the
+        # bucket-max u_max, which made the medium tier cost MORE than hard:
+        # PERF.md 3-tier table), and dt/2 retries re-run only offenders.
+        dt_i = np.array([cfl_dt(cfg, float(u)) for u in u_max_np[idx_h]])
+        lvl = np.ceil(np.log2(cfg.dt / dt_i)).clip(min=0).astype(int)
+        for k in np.unique(lvl):
+            sub = lvl == k
+            _run_bucket(idx_h[sub], float(horizon), float(dt_i[sub].min()))
     return out
 

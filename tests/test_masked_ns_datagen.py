@@ -60,6 +60,53 @@ def test_ldc_and_multi_hole_run():
     assert arr2[0, 0, :, :, 4].sum() >= 2 * 4 * 4
 
 
+def test_per_trajectory_cfl_dt_subbuckets(monkeypatch):
+    """VERDICT r4 #4: dt is derived from each trajectory's OWN u_max, not
+    the horizon bucket's fastest inlet. Trajectories in one horizon bucket
+    whose CFL dt differ by a power-of-two level run as separate sub-bucket
+    launches at their own dt, so a slow-inlet trajectory keeps the full
+    cfg.dt even when a fast one shares its horizon."""
+    import jax.numpy as jnp
+
+    from pregen_pde_tpu.datagen import masked_ns
+    from pregen_pde_tpu.solvers import schedules
+
+    calls = []
+
+    def fake_cached(solver):
+        def traj(masks, u_max, inner, dt):
+            calls.append((np.asarray(u_max).copy(), float(dt), int(inner)))
+            b = masks.shape[0]
+            return jnp.ones((b, 3, masks.shape[1], masks.shape[2], 3))
+
+        return traj
+
+    monkeypatch.setattr(masked_ns, "_batched_traj_cached", fake_cached)
+    # two slow + two fast inlets sharing ONE horizon bucket
+    re_vals = np.array([2000.0, 20000.0, 20000.0, 2000.0], np.float32)
+    monkeypatch.setattr(schedules, "sample_reynolds",
+                        lambda k, n, m, s: jnp.asarray(re_vals))
+    monkeypatch.setattr(schedules, "end_time_from_re",
+                        lambda re: jnp.full_like(jnp.asarray(re), 1000.0))
+    cfg = masked_ns.MaskedNSConfig(pipeline="fpo_regular", resolution=16,
+                                   n_snapshots=2, time_scale=1e-3)
+    out = masked_ns.generate_masked_ns_batch(jax.random.key(0), cfg, 4)
+    assert np.isfinite(out).all()
+    assert len(calls) == 2  # one launch per dt level, not per trajectory
+    u_slow = 2000.0 * cfg.viscosity / cfg.length
+    u_fast = 20000.0 * cfg.viscosity / cfg.length
+    by_dt = sorted(calls, key=lambda c: -c[1])
+    # slow sub-bucket keeps the full cfg.dt; fast one runs at ITS OWN cfl dt
+    assert by_dt[0][1] == pytest.approx(
+        masked_ns.cfl_dt(cfg, u_slow)) == pytest.approx(cfg.dt)
+    assert by_dt[1][1] == pytest.approx(masked_ns.cfl_dt(cfg, u_fast))
+    assert by_dt[1][1] < cfg.dt
+    np.testing.assert_allclose(by_dt[0][0], u_slow, rtol=1e-6)
+    np.testing.assert_allclose(by_dt[1][0], u_fast, rtol=1e-6)
+    # the slow sub-bucket takes FEWER steps per snapshot than the fast one
+    assert by_dt[0][2] < by_dt[1][2]
+
+
 def test_nonfinite_bucket_retry(monkeypatch):
     """Outlier-geometry fail-soft: trajectories that come back non-finite
     re-run at dt/2 (same executable, traced dt) so the trajectory COUNT

@@ -51,10 +51,23 @@ def _log(msg: str):
     print(f"[savings {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-DEFAULT_TIERS = (("hard", "fpo_multi_hole", 0), ("easy", "fpo_regular", 1))
+DEFAULT_TIERS = (("hard", "fpo_multi_hole", 0, {}),
+                 ("easy", "fpo_regular", 1, {}))
 # the reference's protocol is LOW + MEDIUM + HIGH (`README.md:41`); medium =
 # single random hole (`Hole_Location/main.py` == `fpo_hole`)
-MEDIUM_TIER = ("medium", "fpo_hole", 2)
+MEDIUM_TIER = ("medium", "fpo_hole", 2, {})
+
+# the reference's SECOND difficulty axis: "Physics complexity (Reynolds
+# numbers)" (`README.md:18-21`) on the fixed-cylinder FPO geometry. High Re
+# = faster inlet = smaller per-trajectory CFL dt = more solver steps (the
+# real cost axis), plus less diffusion. Bands keep the clipped-normal
+# sampling law of `Regular/main.py:491-518`, re-centered.
+PHYSICS_TIERS = (("hard", "fpo_regular", 0,
+                  {"re_mean": 9000.0, "re_std": 1500.0}),
+                 ("easy", "fpo_regular", 1,
+                  {"re_mean": 2000.0, "re_std": 500.0}))
+PHYSICS_MEDIUM_TIER = ("medium", "fpo_regular", 2,
+                       {"re_mean": 5000.0, "re_std": 1000.0})
 
 
 def generate_sets(state: Path, n_gen: int, fast: bool,
@@ -82,13 +95,14 @@ def generate_sets(state: Path, n_gen: int, fast: bool,
     )
     meta.setdefault("n_gen", n_gen)
     meta.setdefault("resolution", res)
-    for name, pipeline, seed in tiers:
+    for name, pipeline, seed, extra in tiers:
         if (state / f"{name}.npy").exists() and \
                 f"cost_per_traj_{name}_s" in meta:
             continue
         t0 = time.time()
         arr = generate_masked_ns_batch(
-            jax.random.key(seed), MaskedNSConfig(pipeline=pipeline, **gen_kw),
+            jax.random.key(seed),
+            MaskedNSConfig(pipeline=pipeline, **gen_kw, **extra),
             n_gen, storage_dtype="float16",
         )
         wall = time.time() - t0
@@ -298,7 +312,14 @@ def analyze(runs: dict, gen_meta: dict, total: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--state-dir", default="runs/savings_r4")
+    ap.add_argument("--state-dir", default=None,
+                    help="default runs/savings_r4 (geometry axis) / "
+                    "runs/physics_savings_r5 (physics axis)")
+    ap.add_argument("--axis", default="geometry",
+                    choices=("geometry", "physics"),
+                    help="difficulty axis (`README.md:18-21`): geometry = "
+                    "obstacle count/placement (multi-hole vs free channel), "
+                    "physics = Reynolds band on the fixed cylinder")
     ap.add_argument("--fast", action="store_true",
                     help="minutes-scale CPU smoke configuration")
     ap.add_argument("--n-gen", type=int, default=None,
@@ -335,11 +356,16 @@ def main():
     total = args.total or (8 if fast else 256)
     args.epochs = args.epochs or (2 if fast else 120)
     args.patience = args.patience or (None if fast else 12)
+    if args.state_dir is None:
+        args.state_dir = ("runs/savings_r4" if args.axis == "geometry"
+                          else "runs/physics_savings_r5")
     state = Path(args.state_dir)
     state.mkdir(parents=True, exist_ok=True)
 
     trimix = [s for s in args.trimix.split(",") if s]
-    tiers = list(DEFAULT_TIERS) + ([MEDIUM_TIER] if trimix else [])
+    base, med = ((DEFAULT_TIERS, MEDIUM_TIER) if args.axis == "geometry"
+                 else (PHYSICS_TIERS, PHYSICS_MEDIUM_TIER))
+    tiers = list(base) + ([med] if trimix else [])
     gen_meta = generate_sets(state, n_gen, fast, tiers)
 
     from pregen_pde_tpu.training.datasets import TimePairConfig, compute_stats

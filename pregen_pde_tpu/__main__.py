@@ -547,13 +547,22 @@ def _direct_eval(model, params, dataset, batch_size, label_description=None):
     ≡ the reference's primary post-train test, `trainer.predict` relative-L1
     stats (`scOT/train.py:581-640`); ``label_description`` adds the
     per-channel-group breakdown (`:439-555` per channel_slice_list),
-    streamed: only (B, groups) scalars leave the device per batch."""
+    streamed: only (B, groups) scalars leave the device per batch.
+    Rank-aware under multi-process execution (≡ the reference's
+    DistributedSampler + gather eval, `scOT/train.py:573-696`): each rank
+    evaluates its strided shard, per-sample errors are allgathered, every
+    rank reports identical global metrics."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from pregen_pde_tpu.training.datasets import BatchLoader
+    from pregen_pde_tpu.parallel import multihost
+    from pregen_pde_tpu.training.datasets import BatchLoader, Subset
     from pregen_pde_tpu.training.metrics import summarize_rel_errors
+
+    n_total = len(dataset)
+    if jax.process_count() > 1:
+        dataset = Subset(dataset, multihost.shard_indices(n_total))
 
     names, slices = [], []
     if label_description:
@@ -581,7 +590,8 @@ def _direct_eval(model, params, dataset, batch_size, label_description=None):
         rel.append(np.asarray(step(jnp.asarray(batch["input"]),
                                    jnp.asarray(batch["time"]),
                                    jnp.asarray(batch["label"]))))
-    rel = np.concatenate(rel)  # (N, 1 + n_groups)
+    rel = multihost.allgather_samplewise(np.concatenate(rel), n_total)
+    # rel: (N, 1 + n_groups), full test set on every rank
     if not names:
         return summarize_rel_errors(rel[:, 0])
     out = {"all": summarize_rel_errors(rel[:, 0])}

@@ -184,9 +184,20 @@ def ar_eval(
     beyond the label width — wave speed, forcing, lead-time channel — stay
     frozen across the rollout, ≡ the reference's static-channel re-concat
     when in_dim > out_dim, `trainer.py:262-276`). Returns the same summary
-    stats as the direct evaluation."""
-    from pregen_pde_tpu.training.datasets import BatchLoader
+    stats as the direct evaluation.
+
+    Rank-aware under multi-process execution (≡ the reference's
+    DistributedSampler + gather eval, `scOT/train.py:573-696`): each process
+    rolls only its rank-strided shard of the test samples and the per-sample
+    errors are allgathered, so every rank reports identical global
+    metrics."""
+    from pregen_pde_tpu.parallel import multihost
+    from pregen_pde_tpu.training.datasets import BatchLoader, Subset
     from pregen_pde_tpu.training.metrics import summarize_rel_errors
+
+    n_total = len(dataset)
+    if jax.process_count() > 1:
+        dataset = Subset(dataset, multihost.shard_indices(n_total))
 
     if isinstance(ar_steps, int):
         fracs = [1.0 / ar_steps] * ar_steps
@@ -223,4 +234,5 @@ def ar_eval(
         rel.append(np.asarray(roll(jnp.asarray(batch["input"]),
                                    jnp.asarray(batch["time"]),
                                    jnp.asarray(batch["label"]))))
-    return summarize_rel_errors(np.concatenate(rel))
+    rel_all = multihost.allgather_samplewise(np.concatenate(rel), n_total)
+    return summarize_rel_errors(rel_all)

@@ -125,3 +125,47 @@ def stage_to_local_scratch(path, scratch_dir=None, timeout_s: float = 600.0) -> 
     if jax.process_count() > 1:
         sync_hosts("stage_to_local_scratch")
     return dst
+
+
+def shard_indices(n: int) -> "np.ndarray":
+    """This process's rank-strided sample subset of ``range(n)`` — the JAX
+    twin of torch's DistributedSampler, backing the rank-aware evaluation
+    the reference runs end-to-end (`scOT/train.py:573-696`: every rank
+    predicts its sampler shard, metrics are gathered). Single-process: the
+    full range."""
+    import numpy as np
+
+    return np.arange(jax.process_index(), n, jax.process_count())
+
+
+def allgather_samplewise(local, n_total: int):
+    """Gather per-sample metric rows computed on `shard_indices` subsets
+    back into the full ``(n_total, ...)`` array in ORIGINAL sample order.
+
+    Each rank's block is padded to the common ceil(n/p) length (the Gloo
+    allgather needs equal shapes across ranks), gathered tiled, then
+    re-interleaved (row i of the output came from rank i % p) and trimmed.
+    Single-process: returns ``local`` unchanged."""
+    import numpy as np
+
+    nproc = jax.process_count()
+    local = np.asarray(local)
+    if nproc <= 1:
+        return local
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    m_pad = -(-n_total // nproc)
+    pad_rows = m_pad - local.shape[0]
+    if pad_rows:
+        filler = (local[-1:] if len(local)
+                  else np.zeros((1, *local.shape[1:]), local.dtype))
+        local = np.concatenate([local, np.repeat(filler, pad_rows, axis=0)])
+    g = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(local), tiled=True)
+    ).reshape(nproc, m_pad, *local.shape[1:])
+    out = np.empty((n_total, *local.shape[1:]), local.dtype)
+    for r in range(nproc):
+        take = len(range(r, n_total, nproc))
+        out[r::nproc] = g[r, :take]
+    return out

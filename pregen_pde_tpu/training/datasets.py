@@ -226,6 +226,25 @@ def make_pretraining_mix(datasets: Sequence) -> ConcatDataset:
     return ConcatDataset(datasets)
 
 
+class Subset:
+    """View of a sample-style dataset at a fixed index list (rank-strided
+    eval shards, debugging slices). Attribute access (``cfg``, ``mean``,
+    ``std``, …) forwards to the wrapped dataset."""
+
+    def __init__(self, dataset, indices):
+        self._ds = dataset
+        self._indices = np.asarray(indices, np.int64)
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, i):
+        return self._ds[int(self._indices[i])]
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+
 class BatchLoader:
     """Shuffling batch iterator → dict of stacked numpy arrays
     {"time": (B,), "input": (B,H,W,Cin), "label": (B,H,W,Cout)}."""

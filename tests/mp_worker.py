@@ -96,6 +96,39 @@ res["ckpt_roundtrip"] = all(
     np.array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(leaves_a, leaves_b))
 
+# --- rank-aware benchmark-style eval (VERDICT r4 #6): _direct_eval + ar_eval
+# shard the test samples rank-strided and allgather per-sample errors, so
+# every rank reports the identical GLOBAL metric --------------------------------
+from pregen_pde_tpu.__main__ import _direct_eval  # noqa: E402
+from pregen_pde_tpu.evalx.inference import ar_eval  # noqa: E402
+
+
+class _EvalDS:
+    """Sample-style test dataset (time, input, label) with an odd length so
+    the rank shards are ragged (4 vs 3 samples)."""
+
+    class cfg:
+        time_input = False
+
+    def __init__(self):
+        r = np.random.default_rng(42)
+        self.t = r.uniform(0.1, 1.0, (7,)).astype(np.float32)
+        self.x = r.normal(size=(7, 16, 16, 6)).astype(np.float32)
+        self.y = r.normal(size=(7, 16, 16, 3)).astype(np.float32)
+
+    def __len__(self):
+        return 7
+
+    def __getitem__(self, i):
+        return self.t[i], self.x[i], self.y[i]
+
+
+_eds = _EvalDS()
+res["bench_direct"] = _direct_eval(model, trainer.state.params, _eds,
+                                   batch_size=2)["median_rel_%"]
+res["bench_ar"] = ar_eval(model.apply, trainer.state.params, _eds, 2,
+                          batch_size=2)["median_rel_%"]
+
 # --- batch-sharded datagen with per-process host writes ----------------------
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 

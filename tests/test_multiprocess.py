@@ -122,6 +122,62 @@ def test_eval_metrics_identical_across_ranks(mp_results):
                                                   rel=1e-6)
 
 
+def test_benchmark_eval_rank_aware(mp_results):
+    """`evaluate --dataset`'s `_direct_eval` and `ar_eval` under 2 real
+    processes: rank-strided shards (ragged 4 vs 3 samples) + per-sample
+    allgather produce the identical GLOBAL metric on both ranks, equal to
+    the single-process evaluation of the same dataset (VERDICT r4 #6 ≡
+    reference rank-aware eval, `scOT/train.py:573-696`)."""
+    for key in ("bench_direct", "bench_ar"):
+        assert mp_results[0][key] == pytest.approx(mp_results[1][key],
+                                                   rel=1e-6), key
+
+    # single-process ground truth: same model/trainer trajectory + dataset
+    from pregen_pde_tpu.__main__ import _direct_eval
+    from pregen_pde_tpu.evalx.inference import ar_eval
+    from pregen_pde_tpu.models.fno import FNO2d
+    from pregen_pde_tpu.training.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "input": rng.normal(size=(8, 16, 16, 6)).astype(np.float32),
+        "time": rng.uniform(0.1, 1.0, (8,)).astype(np.float32),
+        "label": rng.normal(size=(8, 16, 16, 3)).astype(np.float32),
+    }
+    model = FNO2d(out_channels=3, modes=2, width=4, n_layers=1)
+    trainer = Trainer(model, TrainerConfig(
+        learning_rate=1e-3, epochs=2, batch_size=8,
+        early_stop_patience=None, seed=0))
+    trainer.init_state(batch, steps_per_epoch=1)
+    step = trainer._make_train_step()
+    for _ in range(2):
+        trainer.state, _ = step(trainer.state, trainer._shard_batch(batch))
+
+    class _EvalDS:
+        class cfg:
+            time_input = False
+
+        def __init__(self):
+            r = np.random.default_rng(42)
+            self.t = r.uniform(0.1, 1.0, (7,)).astype(np.float32)
+            self.x = r.normal(size=(7, 16, 16, 6)).astype(np.float32)
+            self.y = r.normal(size=(7, 16, 16, 3)).astype(np.float32)
+
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return self.t[i], self.x[i], self.y[i]
+
+    eds = _EvalDS()
+    direct_sp = _direct_eval(model, trainer.state.params, eds,
+                             batch_size=2)["median_rel_%"]
+    ar_sp = ar_eval(model.apply, trainer.state.params, eds, 2,
+                    batch_size=2)["median_rel_%"]
+    assert mp_results[0]["bench_direct"] == pytest.approx(direct_sp, rel=1e-5)
+    assert mp_results[0]["bench_ar"] == pytest.approx(ar_sp, rel=1e-5)
+
+
 def test_orbax_multihost_roundtrip(mp_results):
     assert mp_results[0]["ckpt_roundtrip"] and mp_results[1]["ckpt_roundtrip"]
 

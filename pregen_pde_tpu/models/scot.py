@@ -110,6 +110,13 @@ class ScOTConfig:
     # onto the MXU well, and its HBM round trips pipeline; the kernel stays
     # available for explicit use (e.g. larger windows / head dims).
     attention_impl: str = "auto"
+    # whole-block lowering: "fused" runs each Swin layer as ONE Pallas
+    # kernel (`ops/swin_block.py`: qkv → cosine attention → proj → CondLN →
+    # residual → MLP → CondLN → residual, all VMEM-resident; stages with
+    # C > MAX_FUSED_DIM and layers with active dropout fall back to XLA).
+    # Identical parameter tree and math; the VJP currently recomputes via
+    # the jnp reference (forward-side fusion). "auto" == "xla".
+    block_impl: str = "auto"
 
 
 MODEL_SIZES = {
@@ -296,6 +303,105 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class _DenseParams(nn.Module):
+    """Declares exactly the parameters `nn.Dense` would (same names, shapes,
+    inits) and returns them raw — the fused-block path's way of sharing one
+    checkpoint tree with the XLA path without running the XLA matmuls."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = _REF_INIT
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self):
+        # explicit f32 == nn.Dense's param_dtype default (without it,
+        # jax_enable_x64 test mode would init f64 values that diverge from
+        # the XLA path's tree)
+        k = self.param("kernel", self.kernel_init,
+                       (self.in_features, self.features), jnp.float32)
+        b = (self.param("bias", self.bias_init, (self.features,),
+                        jnp.float32)
+             if self.use_bias else None)
+        return k, b
+
+
+class _CondAffine(nn.Module):
+    """`CondLayerNorm`'s parameters + per-sample affine vectors, without the
+    normalization (the fused kernel normalizes in VMEM). Same tree as
+    `CondLayerNorm` under the same name."""
+
+    dim: int
+    use_conditioning: bool = True
+
+    @nn.compact
+    def __call__(self, time, batch: int):
+        if not self.use_conditioning or time is None:
+            scale = self.param("scale", nn.initializers.ones, (self.dim,))
+            bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+            shape = (batch, self.dim)
+            return jnp.broadcast_to(scale, shape), jnp.broadcast_to(bias, shape)
+        t = time.reshape(-1, 1).astype(jnp.float32)
+        zeros = nn.initializers.zeros
+        w = nn.Dense(self.dim, kernel_init=zeros,
+                     bias_init=nn.initializers.ones, name="time_scale")(t)
+        b = nn.Dense(self.dim, kernel_init=zeros, bias_init=zeros,
+                     name="time_bias")(t)
+        return w, b
+
+
+class _WindowAttentionParams(nn.Module):
+    """`WindowAttentionV2`'s parameter tree (same names/inits) plus the
+    precomputed pieces the fused block kernel needs: per-head packed q/k/v/
+    proj weights, exp-clamped logit scale, and the 16σ(CPB) bias."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    pretrained_window_size: int = 0
+
+    @nn.compact
+    def __call__(self):
+        c, h, ws = self.dim, self.num_heads, self.window_size
+        wq, bq = _DenseParams(c, c, self.qkv_bias, name="query")()
+        wk, _ = _DenseParams(c, c, False, name="key")()
+        wv, bv = _DenseParams(c, c, self.qkv_bias, name="value")()
+        logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, jnp.float32(np.log(10.0))),
+            (h, 1, 1),
+        )
+        coords = np.arange(-(ws - 1), ws, dtype=np.float32)
+        table = np.stack(np.meshgrid(coords, coords, indexing="ij"), -1)
+        norm_w = (self.pretrained_window_size - 1
+                  if self.pretrained_window_size > 0 else max(ws - 1, 1))
+        table = table / norm_w * 8.0
+        table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+        table = jnp.asarray(table.reshape(-1, 2))
+        cpb = nn.Dense(512, kernel_init=_REF_INIT, name="cpb_mlp1")(table)
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(h, use_bias=False, kernel_init=_REF_INIT,
+                       name="cpb_mlp2")(cpb)
+        n = ws * ws
+        bias = relative_position_bias(cpb, ws).reshape(n, n, h).transpose(2, 0, 1)
+        bias16 = 16.0 * jax.nn.sigmoid(bias)  # (h, n, n)
+        wp, bp = _DenseParams(c, c, True, name="proj")()
+
+        from pregen_pde_tpu.ops.swin_block import pack_heads
+
+        wq_h, wk_h, wv_h, wp_h = pack_heads(wq, wk, wv, wp, h)
+        hd = c // h
+        zero = jnp.zeros((h, 1, hd), jnp.float32)
+        bq_h = bq.reshape(h, 1, hd) if bq is not None else zero
+        bv_h = bv.reshape(h, 1, hd) if bv is not None else zero
+        scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
+        return dict(wq=wq_h, bq=bq_h, wk=wk_h, wv=wv_h, bv=bv_h,
+                    wp=wp_h, bp=bp.reshape(1, c),
+                    scale=scale.reshape(h), bias16=bias16)
+
+
 class SwinLayerV2(nn.Module):
     """One Swin-V2 block in NHWC: windowed attention (+cyclic shift) with
     post-norm residuals (`ScOTLayer`, `scOT/model.py:343-531`); stochastic
@@ -313,6 +419,18 @@ class SwinLayerV2(nn.Module):
     attn_dropout: float = 0.0
     pretrained_window_size: int = 0
     attention_impl: str = "auto"
+    block_impl: str = "auto"
+
+    def _drop_path_mask(self, batch: int, deterministic: bool) -> jax.Array:
+        """(B, 2) per-sample keep multipliers for the two residual adds
+        (the fused kernel applies them as scalars — same stochastic-depth
+        law as `DropPath`, independent draws per residual)."""
+        if self.drop_path == 0.0 or deterministic:
+            return jnp.ones((batch, 2), jnp.float32)
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (batch, 2))
+        return mask.astype(jnp.float32) / keep
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array | None,
@@ -320,6 +438,41 @@ class SwinLayerV2(nn.Module):
         b, h, w, c = x.shape
         ws = min(self.window_size, h, w)
         shift = ws // 2 if (self.shift and h > ws) else 0
+
+        from pregen_pde_tpu.ops.swin_block import (
+            MAX_FUSED_DIM,
+            fused_swin_block,
+        )
+
+        dropout_active = not deterministic and (
+            self.hidden_dropout > 0.0 or self.attn_dropout > 0.0)
+        if (self.block_impl == "fused" and c <= MAX_FUSED_DIM
+                and not dropout_active):
+            ap = _WindowAttentionParams(
+                dim=c, num_heads=self.num_heads, window_size=ws,
+                qkv_bias=self.qkv_bias,
+                pretrained_window_size=self.pretrained_window_size,
+                name="attention")()
+            if shift > 0:
+                mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+                bias_total = ap["bias16"][None] + mask[:, None]
+            else:
+                bias_total = ap["bias16"][None]  # (1, h, n, n)
+            ln1w, ln1b = _CondAffine(c, self.use_conditioning,
+                                     name="norm1")(time, b)
+            ln2w, ln2b = _CondAffine(c, self.use_conditioning,
+                                     name="norm2")(time, b)
+            dp = self._drop_path_mask(b, deterministic)
+            hidden = int(c * self.mlp_ratio)
+            w1, b1 = _DenseParams(c, hidden, name="mlp1")()
+            w2, b2 = _DenseParams(hidden, c, name="mlp2")()
+            xs = jnp.roll(x, (-shift, -shift), (1, 2)) if shift > 0 else x
+            y = fused_swin_block(
+                xs, bias_total, ap["scale"], ap["wq"], ap["bq"], ap["wk"],
+                ap["wv"], ap["bv"], ap["wp"], ap["bp"], ln1w, ln1b,
+                w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+                ln2w, ln2b, dp, self.num_heads, ws, 1e-5)
+            return jnp.roll(y, (shift, shift), (1, 2)) if shift > 0 else y
 
         shortcut = x
         if shift > 0:
@@ -570,6 +723,7 @@ class ScOT(nn.Module):
                     attn_dropout=cfg.attention_probs_dropout_prob,
                     pretrained_window_size=cfg.pretrained_window_sizes[i],
                     attention_impl=cfg.attention_impl,
+                    block_impl=cfg.block_impl,
                     name=f"enc_{i}_blk_{d}",
                 )(x, time, det)
             skips.append(x)
@@ -606,6 +760,7 @@ class ScOT(nn.Module):
                     attn_dropout=cfg.attention_probs_dropout_prob,
                     pretrained_window_size=cfg.pretrained_window_sizes[i],
                     attention_impl=cfg.attention_impl,
+                    block_impl=cfg.block_impl,
                     name=f"dec_{i}_blk_{d}",
                 )(x, time, det)
             if i > 0:

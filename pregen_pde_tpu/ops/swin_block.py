@@ -1,0 +1,249 @@
+"""Whole-Swin-block fusion (TPU Pallas): window attention → CondLN →
+residual → MLP → CondLN → residual as ONE kernel per layer.
+
+Why: the scOT train step is op-count/overhead-bound, not FLOP-bound — after
+the round-4 CPB-adjoint fix the forward still runs ~12% of MXU roofline and
+bf16 moves nothing (PERF.md "scOT train-step profile"). XLA's lowering of
+one `SwinLayerV2` is ~50 HLO ops with the attention tensor and both MLP
+intermediates round-tripping HBM; windows are tiny (n = window² ≤ 256), so
+a whole (sample, window) block — q/k/v projections, cosine attention with
+additive CPB bias, head-merge + output projection, post-norm conditional
+LayerNorm, residual, MLP, second CondLN, second residual — fits VMEM
+entirely. Only x and y touch HBM per layer.
+
+Per-head weight packing avoids the Mosaic lane-slicing trap (a (n, C)
+array cannot be sliced at non-128 lane offsets without relayout): q/k/v
+kernels enter pre-split as (h, C, hd) so each head's projection is its own
+(C, hd) matmul, and the output projection enters row-split as (h, hd, C) so
+head results accumulate straight into the (n, C) projection sum — no
+channel-axis concat at hd granularity anywhere.
+
+The VJP recomputes the block via the jnp reference implementation
+(`_ref_impl`) — the fused kernel currently accelerates the FORWARD
+(inference/serving and the forward half of training); gradients are
+mathematically those of the same block function. A fully fused backward
+kernel is the named next step.
+
+Gating: C ≤ MAX_FUSED_DIM keeps all weights + intermediates inside the
+~16 MB VMEM window (scOT stage 3 at C = 768 would need ~19 MB for the MLP
+weights alone and stays on XLA). Off-TPU the kernel runs in interpreter
+mode (CPU tests are arithmetic-exact).
+
+Reference capability: one `ScOTLayer` (`Poseidon_mixing_Exp/scOT/
+model.py:343-531`) — Swin-V2 post-norm block with conditional LayerNorms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_swin_block", "MAX_FUSED_DIM", "pack_heads"]
+
+# stage 3 of scOT-B/L (C=768: MLP weights 2·C·4C·4B ≈ 19 MB) stays on XLA
+MAX_FUSED_DIM = 384
+
+_CONTRACT_LAST = (((1,), (1,)), ((), ()))  # a @ b.T
+
+
+def pack_heads(wq, wk, wv, wproj, num_heads: int):
+    """(C, C) dense kernels → per-head packs: q/k/v as (h, C, hd) column
+    splits, proj as (h, hd, C) row splits (see module docstring)."""
+    c = wq.shape[0]
+    hd = c // num_heads
+    col = lambda w: w.reshape(c, num_heads, hd).transpose(1, 0, 2)
+    return col(wq), col(wk), col(wv), wproj.reshape(num_heads, hd, c)
+
+
+def _fwd_kernel(num_heads, eps, x_ref, bias_ref, scale_ref,
+                wq_ref, bq_ref, wk_ref, wv_ref, bv_ref, wp_ref, bp_ref,
+                ln1w_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                ln2w_ref, ln2b_ref, dp_ref, y_ref):
+    _, wsh, wsw, c = x_ref.shape
+    n = wsh * wsw
+    xt = x_ref[0].reshape(n, c).astype(jnp.float32)
+
+    acc = jnp.zeros((n, c), jnp.float32)
+    for i in range(num_heads):
+        q = jnp.dot(xt, wq_ref[i], preferred_element_type=jnp.float32) \
+            + bq_ref[i]
+        k = jnp.dot(xt, wk_ref[i], preferred_element_type=jnp.float32)
+        v = jnp.dot(xt, wv_ref[i], preferred_element_type=jnp.float32) \
+            + bv_ref[i]
+        # Swin-V2 cosine attention — same normalization as the XLA path
+        qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + 1e-6)
+        kn = k / (jnp.sqrt(jnp.sum(k * k, -1, keepdims=True)) + 1e-6)
+        logits = jax.lax.dot_general(qn, kn, _CONTRACT_LAST,
+                                     preferred_element_type=jnp.float32)
+        logits = logits * scale_ref[i] + bias_ref[0, i].astype(jnp.float32)
+        p = jax.nn.softmax(logits, axis=-1)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(o, wp_ref[i], preferred_element_type=jnp.float32)
+    attn = acc + bp_ref[0]
+
+    # post-norm CondLN 1 + drop-path residual
+    mean = jnp.mean(attn, -1, keepdims=True)
+    var = jnp.mean(attn * attn, -1, keepdims=True) - mean * mean
+    an = (attn - mean) * jax.lax.rsqrt(var + eps)
+    an = an * ln1w_ref[0] + ln1b_ref[0]
+    x2 = xt + dp_ref[0, 0] * an
+
+    # MLP (flax-default tanh-approximate GELU) + CondLN 2 + residual
+    hid = jnp.dot(x2, w1_ref[:, :], preferred_element_type=jnp.float32) \
+        + b1_ref[0]
+    hid = jax.nn.gelu(hid, approximate=True)
+    m = jnp.dot(hid, w2_ref[:, :], preferred_element_type=jnp.float32) \
+        + b2_ref[0]
+    mean2 = jnp.mean(m, -1, keepdims=True)
+    var2 = jnp.mean(m * m, -1, keepdims=True) - mean2 * mean2
+    mn = (m - mean2) * jax.lax.rsqrt(var2 + eps)
+    mn = mn * ln2w_ref[0] + ln2b_ref[0]
+    y = x2 + dp_ref[0, 1] * mn
+    y_ref[0] = y.reshape(wsh, wsw, c).astype(y_ref.dtype)
+
+
+def _ref_impl(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+              ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp,
+              num_heads: int, window: int, eps: float):
+    """jnp twin of the kernel on the full (B, H, W, C) tensor — the VJP
+    recompute path and the CPU correctness oracle. Same math, same
+    operand packing as `fused_swin_block`."""
+    b, hh, ww, c = x.shape
+    ws = window
+    n = ws * ws
+    nwh, nww = hh // ws, ww // ws
+    nw = bias.shape[0]
+
+    xw = x.reshape(b, nwh, ws, nww, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    xt = xw.reshape(b, nwh * nww, n, c).astype(jnp.float32)
+
+    q = jnp.einsum("bwnc,hcd->bwhnd", xt, wq) + bq[None, :, None, :]
+    k = jnp.einsum("bwnc,hcd->bwhnd", xt, wk)
+    v = jnp.einsum("bwnc,hcd->bwhnd", xt, wv) + bv[None, :, None, :]
+    qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + 1e-6)
+    kn = k / (jnp.sqrt(jnp.sum(k * k, -1, keepdims=True)) + 1e-6)
+    logits = jnp.einsum("bwhnd,bwhmd->bwhnm", qn, kn)
+    logits = logits * scale[None, None, :, None, None]
+    # bias rows: per-window when nw > 1 (shift mask), shared otherwise
+    bias_b = bias[None] if nw > 1 else bias[None, 0][:, None]
+    logits = logits + bias_b.astype(jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bwhnm,bwhmd->bwhnd", p, v)
+    attn = jnp.einsum("bwhnd,hdc->bwnc", o, wp) + bp
+
+    def cond_ln(t, w_aff, b_aff):
+        mean = jnp.mean(t, -1, keepdims=True)
+        var = jnp.mean(t * t, -1, keepdims=True) - mean * mean
+        tn = (t - mean) * jax.lax.rsqrt(var + eps)
+        return tn * w_aff[:, None, None] + b_aff[:, None, None]
+
+    x2 = xt + dp[:, 0, None, None, None] * cond_ln(attn, ln1w, ln1b)
+    hid = jax.nn.gelu(jnp.einsum("bwnc,cf->bwnf", x2, w1) + b1,
+                      approximate=True)
+    m = jnp.einsum("bwnf,fc->bwnc", hid, w2) + b2
+    y = x2 + dp[:, 1, None, None, None] * cond_ln(m, ln2w, ln2b)
+
+    y = y.reshape(b, nwh, nww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, hh, ww, c).astype(x.dtype)
+
+
+def _ref_on_args(args, num_heads, window, eps):
+    """Adapt the flat packed-operand tuple to `_ref_impl`'s unpacked biases
+    (bq/bv enter the kernel as (h, 1, hd) and bp/b1/b2 as (1, ·))."""
+    (x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+     ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp) = args
+    return _ref_impl(x, bias, scale, wq, bq[:, 0], wk, wv, bv[:, 0], wp,
+                     bp[0], ln1w, ln1b, w1, b1[0], w2, b2[0], ln2w, ln2b,
+                     dp, num_heads, window, eps)
+
+
+def _fused_call(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+                ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp,
+                num_heads: int, window: int, eps: float, interpret: bool):
+    b, hh, ww, c = x.shape
+    ws = window
+    n = ws * ws
+    nwh, nww = hh // ws, ww // ws
+    nw = bias.shape[0]
+
+    def w_idx(bi, i, j):
+        return (i * nww + j if nw > 1 else 0, 0, 0, 0)
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda bi, i, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    per_b = lambda a, space=pltpu.VMEM: pl.BlockSpec(
+        (1,) + a.shape[1:], lambda bi, i, j: (bi,) + (0,) * (a.ndim - 1),
+        memory_space=space)
+
+    kernel = functools.partial(_fwd_kernel, num_heads, eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nwh, nww),
+        in_specs=[
+            pl.BlockSpec((1, ws, ws, c), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, n, n), w_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scale (h,)
+            full(wq), full(bq), full(wk), full(wv), full(bv),
+            full(wp), full(bp),
+            per_b(ln1w), per_b(ln1b),
+            full(w1), full(b1), full(w2), full(b2),
+            per_b(ln2w), per_b(ln2b),
+            per_b(dp, pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, ws, c), lambda bi, i, j: (bi, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+      ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21))
+def fused_swin_block(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+                     ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp,
+                     num_heads: int, window: int, eps: float):
+    """One fused Swin-V2 post-norm block on a (B, H, W, C) token grid.
+
+    x        : (B, H, W, C) — ALREADY cyclically shifted when the layer
+               shifts (the roll is a cheap layout op outside the kernel)
+    bias     : (nw, h, n, n) additive attention logits (16σ(CPB) + shift
+               mask); nw = windows per image, or 1 when shared
+    scale    : (h,) exp-clamped per-head logit scale
+    wq/wk/wv : (h, C, hd) per-head column packs; bq/bv: (h, 1, hd)
+    wp       : (h, hd, C) per-head row pack of proj; bp: (1, C)
+    w1/b1/w2/b2 : MLP (C, 4C)/(1, 4C)/(4C, C)/(1, C)
+    ln1w/ln1b/ln2w/ln2b : (B, C) per-sample CondLN affines
+    dp       : (B, 2) drop-path keep multipliers (1, or mask/keep) for the
+               two residual adds
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _fused_call(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+                       ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp,
+                       num_heads, window, eps, interpret)
+
+
+def _fwd(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+         ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp,
+         num_heads, window, eps):
+    y = fused_swin_block(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+                         ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp,
+                         num_heads, window, eps)
+    res = (x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+           ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp)
+    return y, res
+
+
+def _bwd(num_heads, window, eps, res, g):
+    # recompute-based gradients of the same block function (see docstring)
+    _, vjp = jax.vjp(lambda *a: _ref_on_args(a, num_heads, window, eps),
+                     *res)
+    return vjp(g)
+
+
+fused_swin_block.defvjp(_fwd, _bwd)

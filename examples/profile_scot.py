@@ -183,6 +183,14 @@ def main():
         "fused_f32": (make(attention_impl="fused"), None, False, True),
         "fused_bf16": (make(attention_impl="fused"), jnp.bfloat16, False, True),
         "fused_fwd_f32": (make(attention_impl="fused"), None, True, True),
+        # whole-Swin-block fusion (ops/swin_block.py): one kernel per layer
+        # for stages with C ≤ MAX_FUSED_DIM; VJP recomputes via jnp (the
+        # full-step case measures fwd-fusion + recompute-backward, the fwd
+        # case the pure kernel win)
+        "block_f32": (make(block_impl="fused"), None, False, True),
+        "block_fwd_f32": (make(block_impl="fused"), None, True, True),
+        "block_fwd_bf16": (make(block_impl="fused"), jnp.bfloat16, True, True),
+        "block_grad_f32": (make(block_impl="fused"), None, "grad", True),
     }
     want = args.cases.split(",")
     for name in want:

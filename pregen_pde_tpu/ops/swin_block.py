@@ -239,8 +239,293 @@ def _fwd(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
     return y, res
 
 
+# ---------------------------------------------------------------------------
+# fused backward: one kernel recomputes the block per (window, sample) and
+# emits every gradient. Grid order (wh, ww, b) — b fastest — so the dbias
+# accumulator block (indexed by window) is revisited CONSECUTIVELY across b,
+# and the weight-grad accumulators (pinned to block 0 for every program) are
+# never flushed; per-(window, sample) LN-affine/drop-path grads are written
+# once each and reduced over windows outside (tiny: nw·B·C floats).
+# Stages whose operands would overflow VMEM alongside their grad
+# accumulators use the recompute-via-jnp VJP instead (MAX_FUSED_BWD_DIM).
+# ---------------------------------------------------------------------------
+
+MAX_FUSED_BWD_DIM = 192
+
+
+def _ln_fwd(t, eps):
+    mean = jnp.mean(t, -1, keepdims=True)
+    var = jnp.mean(t * t, -1, keepdims=True) - mean * mean
+    r = jax.lax.rsqrt(var + eps)
+    return (t - mean) * r, r
+
+
+def _ln_bwd(dxhat, xhat, r):
+    """Standard LayerNorm backward (per row, unit affine)."""
+    m1 = jnp.mean(dxhat, -1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, -1, keepdims=True)
+    return r * (dxhat - m1 - xhat * m2)
+
+
+def _gelu_tanh_grad(h):
+    """d/dh gelu(h) for the tanh approximation (flax default)."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    inner = c * (h + 0.044715 * h ** 3)
+    t = jnp.tanh(inner)
+    dinner = c * (1.0 + 3 * 0.044715 * h * h)
+    return 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * dinner
+
+
+def _bwd_kernel(num_heads, eps, nw, x_ref, g_ref, bias_ref, scale_ref,
+                wq_ref, bq_ref, wk_ref, wv_ref, bv_ref, wp_ref, bp_ref,
+                ln1w_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                ln2w_ref, ln2b_ref, dp_ref,
+                dx_ref, dbias_ref, dsc_ref, dwq_ref, dbq_ref, dwk_ref,
+                dwv_ref, dbv_ref, dwp_ref, dbp_ref, dw1_ref, db1_ref,
+                dw2_ref, db2_ref, dln_ref, ddp_ref):
+    _, wsh, wsw, c = x_ref.shape
+    n = wsh * wsw
+    b_id = pl.program_id(2)
+    first_prog = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                  & (b_id == 0))
+
+    xt = x_ref[0].reshape(n, c).astype(jnp.float32)
+    dy = g_ref[0].reshape(n, c).astype(jnp.float32)
+    ln1w = ln1w_ref[0]
+    ln2w = ln2w_ref[0]
+    d1 = dp_ref[0, 0]
+    d2 = dp_ref[0, 1]
+
+    # ---- recompute forward through the attention + first residual --------
+    heads = []
+    acc = jnp.zeros((n, c), jnp.float32)
+    for i in range(num_heads):
+        q = jnp.dot(xt, wq_ref[i], preferred_element_type=jnp.float32) \
+            + bq_ref[i]
+        k = jnp.dot(xt, wk_ref[i], preferred_element_type=jnp.float32)
+        v = jnp.dot(xt, wv_ref[i], preferred_element_type=jnp.float32) \
+            + bv_ref[i]
+        qnorm = jnp.sqrt(jnp.sum(q * q, -1, keepdims=True))
+        knorm = jnp.sqrt(jnp.sum(k * k, -1, keepdims=True))
+        qn = q / (qnorm + 1e-6)
+        kn = k / (knorm + 1e-6)
+        s_pre = jax.lax.dot_general(qn, kn, _CONTRACT_LAST,
+                                    preferred_element_type=jnp.float32)
+        s = s_pre * scale_ref[i] + bias_ref[0, i].astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(o, wp_ref[i], preferred_element_type=jnp.float32)
+        heads.append((q, k, v, qnorm, knorm, qn, kn, s_pre, p, o))
+    attn = acc + bp_ref[0]
+    ahat, r1 = _ln_fwd(attn, eps)
+    a_aff = ahat * ln1w + ln1b_ref[0]
+    x2 = xt + d1 * a_aff
+    h = jnp.dot(x2, w1_ref[:, :], preferred_element_type=jnp.float32) \
+        + b1_ref[0]
+    gl = jax.nn.gelu(h, approximate=True)
+    m = jnp.dot(gl, w2_ref[:, :], preferred_element_type=jnp.float32) \
+        + b2_ref[0]
+    mhat, r2 = _ln_fwd(m, eps)
+    m_aff = mhat * ln2w + ln2b_ref[0]
+
+    # ---- backward --------------------------------------------------------
+    _CF = (((0,), (0,)), ((), ()))  # a.T @ b
+    _CL = _CONTRACT_LAST            # a @ b.T
+    dx2 = dy
+    dmm = d2 * dy
+    dln2w = jnp.sum(dmm * mhat, axis=0, keepdims=True)   # (1, c)
+    dln2b = jnp.sum(dmm, axis=0, keepdims=True)
+    dd2 = jnp.sum(dy * m_aff)
+    dm = _ln_bwd(dmm * ln2w, mhat, r2)
+    dgl = jax.lax.dot_general(dm, w2_ref[:, :], _CL,
+                              preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(gl, dm, _CF,
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(dm, axis=0, keepdims=True)
+    dh = dgl * _gelu_tanh_grad(h)
+    dx2 = dx2 + jax.lax.dot_general(dh, w1_ref[:, :], _CL,
+                                    preferred_element_type=jnp.float32)
+    dw1 = jax.lax.dot_general(x2, dh, _CF,
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
+
+    dxt = dx2
+    da = d1 * dx2
+    dd1 = jnp.sum(dx2 * a_aff)
+    dln1w = jnp.sum(da * ahat, axis=0, keepdims=True)
+    dln1b = jnp.sum(da, axis=0, keepdims=True)
+    dattn = _ln_bwd(da * ln1w, ahat, r1)
+    dbp = jnp.sum(dattn, axis=0, keepdims=True)
+
+    @pl.when(first_prog)
+    def _init_weight_accs():
+        dsc_ref[:] = jnp.zeros_like(dsc_ref)
+        dwq_ref[:] = jnp.zeros_like(dwq_ref)
+        dbq_ref[:] = jnp.zeros_like(dbq_ref)
+        dwk_ref[:] = jnp.zeros_like(dwk_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dbv_ref[:] = jnp.zeros_like(dbv_ref)
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+        dbp_ref[:] = jnp.zeros_like(dbp_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    # nw > 1: each window owns a bias block, re-zeroed at its first sample;
+    # nw == 1: ALL windows share block 0 — zero it only once, at the very
+    # first program, or later windows would wipe earlier accumulation
+    @pl.when(b_id == 0 if nw > 1 else first_prog)
+    def _init_bias_acc():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    dw1_ref[:, :] += dw1
+    db1_ref[0] += db1[0]
+    dw2_ref[:, :] += dw2
+    db2_ref[0] += db2[0]
+    dbp_ref[0] += dbp[0]
+
+    for i in range(num_heads):
+        q, k, v, qnorm, knorm, qn, kn, s_pre, p, o = heads[i]
+        do = jax.lax.dot_general(dattn, wp_ref[i], _CL,
+                                 preferred_element_type=jnp.float32)
+        dwp_ref[i] += jax.lax.dot_general(o, dattn, _CF,
+                                          preferred_element_type=jnp.float32)
+        dpm = jax.lax.dot_general(do, v, _CL,
+                                  preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p, do, _CF,
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dpm - jnp.sum(p * dpm, -1, keepdims=True))
+        dbias_ref[0, i] += ds
+        dsc_ref[0, i] += jnp.sum(ds * s_pre)
+        dqn = jnp.dot(ds, kn, preferred_element_type=jnp.float32) \
+            * scale_ref[i]
+        dkn = jax.lax.dot_general(ds, qn, _CF,
+                                  preferred_element_type=jnp.float32) \
+            * scale_ref[i]
+        # cosine-normalization backward: y = q/(|q|+e) →
+        # dq = dy/(|q|+e) − q·(y·dy)/(|q|·(|q|+e)²)
+        qdot = jnp.sum(dqn * q, -1, keepdims=True)
+        dq = dqn / (qnorm + 1e-6) \
+            - q * (qdot / (jnp.maximum(qnorm, 1e-30) * (qnorm + 1e-6) ** 2))
+        kdot = jnp.sum(dkn * k, -1, keepdims=True)
+        dk = dkn / (knorm + 1e-6) \
+            - k * (kdot / (jnp.maximum(knorm, 1e-30) * (knorm + 1e-6) ** 2))
+        dxt = dxt + jax.lax.dot_general(dq, wq_ref[i], _CL,
+                                        preferred_element_type=jnp.float32)
+        dxt = dxt + jax.lax.dot_general(dk, wk_ref[i], _CL,
+                                        preferred_element_type=jnp.float32)
+        dxt = dxt + jax.lax.dot_general(dv, wv_ref[i], _CL,
+                                        preferred_element_type=jnp.float32)
+        dwq_ref[i] += jax.lax.dot_general(xt, dq, _CF,
+                                          preferred_element_type=jnp.float32)
+        dbq_ref[i] += jnp.sum(dq, axis=0, keepdims=True)
+        dwk_ref[i] += jax.lax.dot_general(xt, dk, _CF,
+                                          preferred_element_type=jnp.float32)
+        dwv_ref[i] += jax.lax.dot_general(xt, dv, _CF,
+                                          preferred_element_type=jnp.float32)
+        dbv_ref[i] += jnp.sum(dv, axis=0, keepdims=True)
+
+    dx_ref[0] = dxt.reshape(wsh, wsw, c).astype(dx_ref.dtype)
+    dln_ref[0, 0] = jnp.concatenate(
+        [dln1w, dln1b, dln2w, dln2b], axis=0)     # (4, c)
+    ddp_ref[0, 0, 0, :] = jnp.stack([dd1, dd2])
+
+
+def _fused_bwd_call(res, g, num_heads, window, eps, interpret):
+    (x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+     ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp) = res
+    b, hh, ww, c = x.shape
+    ws = window
+    n = ws * ws
+    nwh, nww = hh // ws, ww // ws
+    nw = bias.shape[0]
+    hd = c // num_heads
+    hidden = w1.shape[1]
+
+    def w_idx(i, j, bi):
+        return (i * nww + j if nw > 1 else 0, 0, 0, 0)
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i, j, bi: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    per_b = lambda a, space=pltpu.VMEM: pl.BlockSpec(
+        (1,) + a.shape[1:], lambda i, j, bi: (bi,) + (0,) * (a.ndim - 1),
+        memory_space=space)
+    acc = lambda shape: pl.BlockSpec(
+        shape, lambda i, j, bi: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),            # dx
+        jax.ShapeDtypeStruct(bias.shape, f32),             # dbias (acc b)
+        jax.ShapeDtypeStruct((1, num_heads), f32),         # dscale
+        jax.ShapeDtypeStruct(wq.shape, f32),               # dwq
+        jax.ShapeDtypeStruct(bq.shape, f32),               # dbq
+        jax.ShapeDtypeStruct(wk.shape, f32),               # dwk
+        jax.ShapeDtypeStruct(wv.shape, f32),               # dwv
+        jax.ShapeDtypeStruct(bv.shape, f32),               # dbv
+        jax.ShapeDtypeStruct(wp.shape, f32),               # dwp
+        jax.ShapeDtypeStruct(bp.shape, f32),               # dbp
+        jax.ShapeDtypeStruct(w1.shape, f32),               # dw1
+        jax.ShapeDtypeStruct(b1.shape, f32),               # db1
+        jax.ShapeDtypeStruct(w2.shape, f32),               # dw2
+        jax.ShapeDtypeStruct(b2.shape, f32),               # db2
+        jax.ShapeDtypeStruct((nwh * nww, b, 4, c), f32),   # dln per (w, b)
+        jax.ShapeDtypeStruct((nwh * nww, b, 1, 2), f32),   # ddp per (w, b)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, ws, ws, c), lambda i, j, bi: (bi, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, num_heads, n, n), w_idx, memory_space=pltpu.VMEM),
+        acc((1, num_heads)),
+        acc(wq.shape), acc(bq.shape), acc(wk.shape), acc(wv.shape),
+        acc(bv.shape), acc(wp.shape), acc(bp.shape),
+        acc(w1.shape), acc(b1.shape), acc(w2.shape), acc(b2.shape),
+        pl.BlockSpec((1, 1, 4, c), lambda i, j, bi: (i * nww + j, bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, 2), lambda i, j, bi: (i * nww + j, bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(_bwd_kernel, num_heads, eps, nw)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nwh, nww, b),
+        in_specs=[
+            pl.BlockSpec((1, ws, ws, c), lambda i, j, bi: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ws, ws, c), lambda i, j, bi: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, n, n), w_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scale (h,)
+            full(wq), full(bq), full(wk), full(wv), full(bv),
+            full(wp), full(bp),
+            per_b(ln1w), per_b(ln1b),
+            full(w1), full(b1), full(w2), full(b2),
+            per_b(ln2w), per_b(ln2b),
+            per_b(dp, pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, g, bias, scale, wq, bq, wk, wv, bv, wp, bp,
+      ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp)
+
+    (dx, dbias, dsc, dwq, dbq, dwk, dwv, dbv, dwp, dbp,
+     dw1, db1, dw2, db2, dln, ddp) = outs
+    dln_sum = jnp.sum(dln, axis=0)                 # (b, 4, c)
+    ddp_sum = jnp.sum(ddp, axis=0)[:, 0]           # (b, 2)
+    return (dx, dbias.astype(bias.dtype), dsc[0],
+            dwq, dbq, dwk, dwv, dbv, dwp, dbp, dln_sum[:, 0], dln_sum[:, 1],
+            dw1, db1, dw2, db2, dln_sum[:, 2], dln_sum[:, 3], ddp_sum)
+
+
 def _bwd(num_heads, window, eps, res, g):
-    # recompute-based gradients of the same block function (see docstring)
+    c = res[0].shape[-1]
+    if c <= MAX_FUSED_BWD_DIM:
+        interpret = jax.default_backend() != "tpu"
+        return _fused_bwd_call(res, g, num_heads, window, eps, interpret)
+    # larger stages: recompute-based gradients of the same block function
     _, vjp = jax.vjp(lambda *a: _ref_on_args(a, num_heads, window, eps),
                      *res)
     return vjp(g)

@@ -63,13 +63,13 @@ def test_fused_block_gradients_match():
     np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
     for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gx),
                               jax.tree_util.tree_leaves_with_path(gf)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
-                                   atol=5e-5, err_msg=str(k))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3,
+                                   atol=1e-4, err_msg=str(k))
     # d/dx too (the AR rollout path differentiates through inputs)
     dx_x = jax.grad(lambda xx: loss(xla, params, xx))(x)
     dx_f = jax.grad(lambda xx: loss(fused, params, xx))(x)
     np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_x),
-                               rtol=1e-3, atol=5e-5)
+                               rtol=5e-3, atol=1e-4)
 
 
 def test_full_scot_fused_matches_default():
@@ -91,3 +91,38 @@ def test_full_scot_fused_matches_default():
     y1 = fused.apply({"params": p}, x, t)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("nw_shift", [1, 4])
+def test_fused_backward_kernel_matches_reference_vjp(nw_shift):
+    """The fused backward KERNEL (`_fused_bwd_call`) against jax.vjp of the
+    jnp reference on identical packed operands — per-gradient-leaf, tight
+    tolerance (same math, same matmul granularity). Covers both the shared
+    (nw=1) and per-window (nw=4, shift-mask) bias accumulation orders."""
+    import pregen_pde_tpu.ops.swin_block as sb
+
+    rng = np.random.default_rng(5)
+    b, hw, c, heads, ws = 2, 8, 32, 4, 4
+    n = ws * ws
+    hd = c // heads
+    nw = nw_shift
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
+    x = mk(b, hw, hw, c) * 10
+    bias = mk(nw, heads, n, n) * 10
+    scale = jnp.asarray(rng.uniform(1, 3, (heads,)).astype(np.float32))
+    args = (x, bias, scale, mk(heads, c, hd), mk(heads, 1, hd),
+            mk(heads, c, hd), mk(heads, c, hd), mk(heads, 1, hd),
+            mk(heads, hd, c), mk(1, c), mk(b, c) + 1, mk(b, c),
+            mk(c, 4 * c), mk(1, 4 * c), mk(4 * c, c), mk(1, c),
+            mk(b, c) + 1, mk(b, c),
+            jnp.asarray(rng.uniform(0.5, 1.5, (b, 2)).astype(np.float32)))
+    g = mk(b, hw, hw, c) * 10
+
+    _, vjp = jax.vjp(lambda *a: sb._ref_on_args(a, heads, ws, 1e-5), *args)
+    ref = vjp(g)
+    fused = sb._fused_bwd_call(args, g, heads, ws, 1e-5, True)
+    names = ("dx dbias dscale dwq dbq dwk dwv dbv dwp dbp dln1w dln1b "
+             "dw1 db1 dw2 db2 dln2w dln2b ddp").split()
+    for nm, a, f in zip(names, ref, fused):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(a), rtol=2e-4,
+                                   atol=5e-5, err_msg=nm)

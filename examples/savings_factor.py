@@ -71,7 +71,7 @@ PHYSICS_MEDIUM_TIER = ("medium", "fpo_regular", 2,
 
 
 def generate_sets(state: Path, n_gen: int, fast: bool,
-                  tiers=DEFAULT_TIERS) -> dict:
+                  tiers=DEFAULT_TIERS, legacy_dt: bool = False) -> dict:
     """Generate (or load) the per-tier trajectory sets; returns metadata
     with per-difficulty wall-clock generation cost. Incremental: tiers
     already on disk (with their cost recorded) are kept untouched, so a
@@ -92,6 +92,10 @@ def generate_sets(state: Path, n_gen: int, fast: bool,
         n_snapshots=4 if fast else 20,
         time_scale=2e-4 if fast else 1.0,
         cg_iters=60 if fast else 150,
+        # legacy_dt regenerates a round-4 state dir's pools BIT-IDENTICALLY
+        # (the cached run_*.json results are pinned to those trajectories);
+        # the per-trajectory-dt cost model is measured separately
+        per_traj_dt=not legacy_dt,
     )
     meta.setdefault("n_gen", n_gen)
     meta.setdefault("resolution", res)
@@ -322,6 +326,9 @@ def main():
                     "physics = Reynolds band on the fixed cylinder")
     ap.add_argument("--fast", action="store_true",
                     help="minutes-scale CPU smoke configuration")
+    ap.add_argument("--legacy-dt", action="store_true",
+                    help="regenerate pools with the round-4 bucket-max dt "
+                    "(bit-identical to a round-4 state dir's data)")
     ap.add_argument("--n-gen", type=int, default=None,
                     help="trajectories generated per difficulty")
     ap.add_argument("--total", type=int, default=None,
@@ -366,7 +373,8 @@ def main():
     base, med = ((DEFAULT_TIERS, MEDIUM_TIER) if args.axis == "geometry"
                  else (PHYSICS_TIERS, PHYSICS_MEDIUM_TIER))
     tiers = list(base) + ([med] if trimix else [])
-    gen_meta = generate_sets(state, n_gen, fast, tiers)
+    gen_meta = generate_sets(state, n_gen, fast, tiers,
+                             legacy_dt=args.legacy_dt)
 
     from pregen_pde_tpu.training.datasets import TimePairConfig, compute_stats
     from pregen_pde_tpu.training.device_data import DeviceDataStore

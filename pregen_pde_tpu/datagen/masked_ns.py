@@ -81,6 +81,13 @@ class MaskedNSConfig:
     # the trajectory COUNT exact, which difficulty-mixing splits rely on
     cfl_speedup: float = 3.5
     nonfinite_retries: int = 2
+    # False = round-≤4 behavior (one dt per horizon bucket from the bucket's
+    # fastest inlet). Kept so existing datasets can be regenerated
+    # bit-identically (cached experiment state dirs pin their training
+    # results to the exact trajectories); new datasets should use the
+    # per-trajectory default — see the sub-bucketing comment in
+    # `generate_masked_ns_batch`.
+    per_traj_dt: bool = True
 
 
 def sample_masks(key: jax.Array, cfg: MaskedNSConfig, n: int) -> jax.Array:
@@ -229,6 +236,10 @@ def generate_masked_ns_batch(
 
     for horizon in np.unique(end_t_np):
         idx_h = np.nonzero(end_t_np == horizon)[0]
+        if not cfg.per_traj_dt:  # legacy round-≤4 bucket-max dt
+            _run_bucket(idx_h, float(horizon),
+                        cfl_dt(cfg, float(u_max_np[idx_h].max())))
+            continue
         # PER-TRAJECTORY CFL dt: each trajectory's own u_max sets its step.
         # Trajectories are sub-bucketed by the power-of-two refinement level
         # k = ceil(log2(cfg.dt / cfl_dt_i)) (≤ log2 levels bound the launch

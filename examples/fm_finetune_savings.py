@@ -370,7 +370,13 @@ def main():
     res = hard.shape[2]
 
     pre_meta = generate_pretrain(state, args.n_pre, res, fast)
-    pretrain = np.load(state / "pretrain.npy")
+    # on resume with a cached FM the corpus is only consulted for its SHAPE
+    # (pretrain_fm's cached branch) — mmap it and skip the multi-GB HBM
+    # upload (~5 min through the tunnel)
+    fm_cached = ((state / "fm_params.msgpack").exists()
+                 and (state / "fm.json").exists())
+    pretrain = np.load(state / "pretrain.npy",
+                       mmap_mode="r" if fm_cached else None)
 
     from pregen_pde_tpu.training.datasets import TimePairConfig, compute_stats
     from pregen_pde_tpu.training.device_data import DeviceDataStore
@@ -390,7 +396,13 @@ def main():
     mean, std = compute_stats([hard, easy])
 
     # phase 1: FM pretraining (its own store; freed before the FT sweep)
-    pre_store = DeviceDataStore({"pretrain": pretrain})
+    if fm_cached:
+        class _ShapeOnlyStore:  # quacks like DeviceDataStore for .data.shape
+            data = pretrain
+
+        pre_store = _ShapeOnlyStore()
+    else:
+        pre_store = DeviceDataStore({"pretrain": pretrain})
     fm_params, fm_rec = pretrain_fm(state, pre_store, mean, std,
                                     cfg_time_pre, args)
     del pre_store, pretrain

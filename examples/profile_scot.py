@@ -188,6 +188,7 @@ def main():
         # full-step case measures fwd-fusion + recompute-backward, the fwd
         # case the pure kernel win)
         "block_f32": (make(block_impl="fused"), None, False, True),
+        "block_bf16": (make(block_impl="fused"), jnp.bfloat16, False, True),
         "block_fwd_f32": (make(block_impl="fused"), None, True, True),
         "block_fwd_bf16": (make(block_impl="fused"), jnp.bfloat16, True, True),
         "block_grad_f32": (make(block_impl="fused"), None, "grad", True),

@@ -40,6 +40,13 @@ run_example("measure_tier_error",
             ["1", "--resolution", "128", "--t-end", "0.004",
              "--snapshots", "2"])
 run_example("perf_models", ["--fast", "--models", "fno,ffno"])
+run_example("fm_finetune_savings",
+            ["--fast", "--state-dir", state + "_fm", "--pools-dir",
+             state + "_fm", "--n-pre", "6", "--totals", "4",
+             "--alphas", "0.0,1.0", "--extra-ladder", "2", "--seeds", "0",
+             "--batch-size", "2"])
+run_example("measure_tier_costs",
+            ["--fast", "--state-dir", state + "_tc", "--n-gen", "4"])
 print("### ALL OK", flush=True)
 """
 
@@ -54,7 +61,7 @@ def test_examples_smoke(tmp_path):
     out = proc.stdout
     assert proc.returncode == 0, (out[-3000:], proc.stderr[-3000:])
     for name in ("mixing_experiment", "savings_factor", "measure_tier_error",
-                 "perf_models"):
+                 "perf_models", "fm_finetune_savings", "measure_tier_costs"):
         assert f"### {name} OK" in out, name
     # savings_factor must have produced an analyzable result
     res = json.loads((state / "savings.json").read_text())
@@ -72,3 +79,14 @@ def test_examples_smoke(tmp_path):
     tier_line = [l for l in out.splitlines() if '"tiers"' in l][-1]
     tiers = json.loads(tier_line)["tiers"]
     assert "cn_ab2_pallas_high" in tiers and "cn_ab2_pallas_exact" in tiers
+    # FM fine-tune savings (round 5): pretrain + FT grid + analysis ran
+    fm = json.loads(
+        (Path(str(state) + "_fm") / "fm_savings.json").read_text())
+    assert fm["regime"] == "finetune_from_pretrained_fm"
+    assert fm["mixes"] and fm["ladder_raw"]
+    # per-trajectory-dt tier cost measurement (round 5)
+    tc = json.loads(
+        (Path(str(state) + "_tc") / "tier_costs.json").read_text())
+    assert tc["dt_mode"] == "per_traj"
+    for tier in ("hard", "medium", "easy"):
+        assert tc[f"cost_per_traj_{tier}_s"] > 0

@@ -18,16 +18,21 @@ kernels enter pre-split as (h, C, hd) so each head's projection is its own
 head results accumulate straight into the (n, C) projection sum — no
 channel-axis concat at hd granularity anywhere.
 
-The VJP recomputes the block via the jnp reference implementation
-(`_ref_impl`) — the fused kernel currently accelerates the FORWARD
-(inference/serving and the forward half of training); gradients are
-mathematically those of the same block function. A fully fused backward
-kernel is the named next step.
+The VJP is a second fused Pallas kernel (`_bwd_kernel`): ALL gradients —
+dx, dbias, dscale, every weight/bias, both CondLN affines, the drop-path
+projections — in one pass per (sample, window) with grid-ordered
+accumulators (weight gradients accumulate across the window grid inside
+VMEM scratch; per-leaf parity vs `jax.grad` of the reference block is
+pinned in `tests/test_swin_block.py`). Stages with C ≤ MAX_FUSED_BWD_DIM
+(192: scOT stages 0-1, where the window count and therefore the op-count
+overhead is largest) take the fused backward; larger C recompute via
+`jax.vjp` of the jnp reference implementation (`_ref_impl`) — gradients
+are mathematically those of the same block function either way.
 
-Gating: C ≤ MAX_FUSED_DIM keeps all weights + intermediates inside the
-~16 MB VMEM window (scOT stage 3 at C = 768 would need ~19 MB for the MLP
-weights alone and stays on XLA). Off-TPU the kernel runs in interpreter
-mode (CPU tests are arithmetic-exact).
+Gating: C ≤ MAX_FUSED_DIM (384) keeps all weights + intermediates inside
+the ~16 MB VMEM window (scOT stage 3 at C = 768 would need ~19 MB for the
+MLP weights alone and stays on XLA). Off-TPU the kernel runs in
+interpreter mode (CPU tests are arithmetic-exact).
 
 Reference capability: one `ScOTLayer` (`Poseidon_mixing_Exp/scOT/
 model.py:343-531`) — Swin-V2 post-norm block with conditional LayerNorms.

@@ -56,7 +56,7 @@ def test_examples_smoke(tmp_path):
     state = tmp_path / "savings"
     proc = subprocess.run(
         [sys.executable, "-c", DRIVER, str(REPO / "examples"), str(state)],
-        capture_output=True, text=True, timeout=1500, cwd=str(REPO),
+        capture_output=True, text=True, timeout=3000, cwd=str(REPO),
     )
     out = proc.stdout
     assert proc.returncode == 0, (out[-3000:], proc.stderr[-3000:])

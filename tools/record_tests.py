@@ -35,8 +35,11 @@ def run_tier(args: list[str], timeout: int) -> dict:
     counts = {k: int(v) for v, k in
               re.findall(r"(\d+) (passed|failed|skipped|deselected|error)",
                          tail)}
-    return {"summary": tail, "counts": counts, "wall_s": round(wall, 1),
-            "returncode": proc.returncode}
+    rec = {"summary": tail, "counts": counts, "wall_s": round(wall, 1),
+           "returncode": proc.returncode}
+    if proc.returncode != 0:
+        rec["failure_tail"] = proc.stdout[-4000:]
+    return rec
 
 
 def main():

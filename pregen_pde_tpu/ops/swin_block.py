@@ -95,7 +95,7 @@ def _fwd_kernel(num_heads, eps, x_ref, bias_ref, scale_ref,
     var = jnp.mean(attn * attn, -1, keepdims=True) - mean * mean
     an = (attn - mean) * jax.lax.rsqrt(var + eps)
     an = an * ln1w_ref[0] + ln1b_ref[0]
-    x2 = xt + dp_ref[0, 0] * an
+    x2 = xt + dp_ref[0, 0, 0] * an
 
     # MLP (flax-default tanh-approximate GELU) + CondLN 2 + residual
     hid = jnp.dot(x2, w1_ref[:, :], preferred_element_type=jnp.float32) \
@@ -107,7 +107,7 @@ def _fwd_kernel(num_heads, eps, x_ref, bias_ref, scale_ref,
     var2 = jnp.mean(m * m, -1, keepdims=True) - mean2 * mean2
     mn = (m - mean2) * jax.lax.rsqrt(var2 + eps)
     mn = mn * ln2w_ref[0] + ln2b_ref[0]
-    y = x2 + dp_ref[0, 1] * mn
+    y = x2 + dp_ref[0, 0, 1] * mn
     y_ref[0] = y.reshape(wsh, wsw, c).astype(y_ref.dtype)
 
 
@@ -183,6 +183,13 @@ def _fused_call(x, bias, scale, wq, bq, wk, wv, bv, wp, bp,
     per_b = lambda a, space=pltpu.VMEM: pl.BlockSpec(
         (1,) + a.shape[1:], lambda bi, i, j: (bi,) + (0,) * (a.ndim - 1),
         memory_space=space)
+    # CondLN affines enter as (B, 1, C): a (1, C) block of a (B, C) array
+    # is Mosaic-illegal (last-two-dims rule: 1 is neither 8-divisible nor
+    # equal to B), while (1, 1, C) of (B, 1, C) is legal — the kernel's
+    # `ref[0]` then yields (1, C), which broadcasts identically
+    ln1w, ln1b, ln2w, ln2b = (a[:, None, :] for a in (ln1w, ln1b,
+                                                      ln2w, ln2b))
+    dp = dp[:, None, :]  # (B, 1, 2): same rule applies in SMEM
 
     kernel = functools.partial(_fwd_kernel, num_heads, eps)
     return pl.pallas_call(
@@ -298,8 +305,8 @@ def _bwd_kernel(num_heads, eps, nw, x_ref, g_ref, bias_ref, scale_ref,
     dy = g_ref[0].reshape(n, c).astype(jnp.float32)
     ln1w = ln1w_ref[0]
     ln2w = ln2w_ref[0]
-    d1 = dp_ref[0, 0]
-    d2 = dp_ref[0, 1]
+    d1 = dp_ref[0, 0, 0]
+    d2 = dp_ref[0, 0, 1]
 
     # ---- recompute forward through the attention + first residual --------
     heads = []
@@ -385,11 +392,12 @@ def _bwd_kernel(num_heads, eps, nw, x_ref, g_ref, bias_ref, scale_ref,
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     dw1_ref[:, :] += dw1
-    db1_ref[0] += db1[0]
+    db1_ref[:, :] += db1
     dw2_ref[:, :] += dw2
-    db2_ref[0] += db2[0]
-    dbp_ref[0] += dbp[0]
+    db2_ref[:, :] += db2
+    dbp_ref[:, :] += dbp
 
+    dsc_parts = []
     for i in range(num_heads):
         q, k, v, qnorm, knorm, qn, kn, s_pre, p, o = heads[i]
         do = jax.lax.dot_general(dattn, wp_ref[i], _CL,
@@ -402,7 +410,9 @@ def _bwd_kernel(num_heads, eps, nw, x_ref, g_ref, bias_ref, scale_ref,
                                  preferred_element_type=jnp.float32)
         ds = p * (dpm - jnp.sum(p * dpm, -1, keepdims=True))
         dbias_ref[0, i] += ds
-        dsc_ref[0, i] += jnp.sum(ds * s_pre)
+        # scalar VMEM stores are Mosaic-illegal — collect the per-head
+        # logit-scale gradients and store them as one (1, h) row below
+        dsc_parts.append(jnp.sum(ds * s_pre))
         dqn = jnp.dot(ds, kn, preferred_element_type=jnp.float32) \
             * scale_ref[i]
         dkn = jax.lax.dot_general(ds, qn, _CF,
@@ -431,10 +441,11 @@ def _bwd_kernel(num_heads, eps, nw, x_ref, g_ref, bias_ref, scale_ref,
                                           preferred_element_type=jnp.float32)
         dbv_ref[i] += jnp.sum(dv, axis=0, keepdims=True)
 
+    dsc_ref[:, :] += jnp.stack(dsc_parts)[None, :]
     dx_ref[0] = dxt.reshape(wsh, wsw, c).astype(dx_ref.dtype)
     dln_ref[0, 0] = jnp.concatenate(
         [dln1w, dln1b, dln2w, dln2b], axis=0)     # (4, c)
-    ddp_ref[0, 0, 0, :] = jnp.stack([dd1, dd2])
+    ddp_ref[0, 0] = jnp.stack([dd1, dd2])[None, :]
 
 
 def _fused_bwd_call(res, g, num_heads, window, eps, interpret):
@@ -458,6 +469,11 @@ def _fused_bwd_call(res, g, num_heads, window, eps, interpret):
         memory_space=space)
     acc = lambda shape: pl.BlockSpec(
         shape, lambda i, j, bi: (0,) * len(shape), memory_space=pltpu.VMEM)
+    # (B, 1, C) CondLN affines — same Mosaic last-two-dims fix as the
+    # forward call (see `_fused_call`)
+    ln1w, ln1b, ln2w, ln2b = (a[:, None, :] for a in (ln1w, ln1b,
+                                                      ln2w, ln2b))
+    dp = dp[:, None, :]  # (B, 1, 2): same rule applies in SMEM
 
     f32 = jnp.float32
     out_shapes = [

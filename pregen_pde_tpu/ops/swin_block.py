@@ -508,6 +508,13 @@ def _fused_bwd_call(res, g, num_heads, window, eps, interpret):
                      memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(_bwd_kernel, num_heads, eps, nw)
+    # the backward's recompute working set (per-head attention tensors +
+    # MLP intermediates + the weight-gradient accumulator blocks) measures
+    # ~26 MB at C=192/window-16 — over the 16 MB scoped-vmem compiler
+    # default but far under the v5e's 128 MB physical VMEM (same situation
+    # as `spectral_ns_pallas.py`), so raise the cap for this kernel
+    compiler_params = (None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=48 * 1024 * 1024))
     outs = pl.pallas_call(
         kernel,
         grid=(nwh, nww, b),
@@ -529,6 +536,8 @@ def _fused_bwd_call(res, g, num_heads, window, eps, interpret):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **({} if compiler_params is None
+           else {"compiler_params": compiler_params}),
     )(x, g, bias, scale, wq, bq, wk, wv, bv, wp, bp,
       ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, dp)
 
@@ -545,11 +554,16 @@ def _bwd(num_heads, window, eps, res, g):
     c = res[0].shape[-1]
     if c <= MAX_FUSED_BWD_DIM:
         interpret = jax.default_backend() != "tpu"
-        return _fused_bwd_call(res, g, num_heads, window, eps, interpret)
-    # larger stages: recompute-based gradients of the same block function
-    _, vjp = jax.vjp(lambda *a: _ref_on_args(a, num_heads, window, eps),
-                     *res)
-    return vjp(g)
+        grads = _fused_bwd_call(res, g, num_heads, window, eps, interpret)
+    else:
+        # larger stages: recompute-based gradients of the same block function
+        _, vjp = jax.vjp(lambda *a: _ref_on_args(a, num_heads, window, eps),
+                         *res)
+        grads = vjp(g)
+    # cotangent dtypes must match the primals' (the kernel accumulates in
+    # f32; under compute_dtype=bfloat16 the primals are bf16 and upstream
+    # transpose rules reject mixed-dtype muls)
+    return tuple(gi.astype(a.dtype) for gi, a in zip(grads, res))
 
 
 fused_swin_block.defvjp(_fwd, _bwd)

@@ -36,6 +36,15 @@ interpreter mode (CPU tests are arithmetic-exact).
 
 Reference capability: one `ScOTLayer` (`Poseidon_mixing_Exp/scOT/
 model.py:343-531`) — Swin-V2 post-norm block with conditional LayerNorms.
+
+MEASURED OUTCOME (round 5, on chip, scOT-B batch 16 at 128²): the fused
+block LOSES to XLA — full step 50.2 vs 43.3 ms f32, forward alone 16.5 vs
+11.9 — because a per-(sample, window) grid (4096 programs/layer at
+stage 0) pays more in program overhead and small-matmul MXU
+under-utilization than it saves in HBM traffic; see PERF.md "scOT
+train-step profile". Kept as `ScOTConfig.block_impl="fused"`
+(`"auto"` keeps the XLA path); a win at this granularity would need
+multi-window batching per program.
 """
 
 from __future__ import annotations
